@@ -1,0 +1,180 @@
+"""Camera math kernels: pinhole projection, ray casting, distortion,
+segment–segment distances. Vectorized numpy, used inside pandas UDFs.
+
+Reference analogs:
+- pinhole projection K[R|t]: ``cameras/cameras.py:404-444`` (X5)
+- pixel → world ray casting: ``cameras/cameras.py:574-628`` (X6)
+- Brown–Conrady distortion: ``cameras/derived_cameras.py:151-196`` (X7)
+- segment-pair closest distance kernel: ``utils/numeric.py:39-236`` (J8)
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+
+# ---------------------------------------------------------------------------
+# Transforms
+# ---------------------------------------------------------------------------
+
+def invert_rigid(T: np.ndarray) -> np.ndarray:
+    """Inverse of a 4x4 rigid (or rigid+uniform-scale) transform via solve —
+    matches the reference's np.linalg.inv use (``cameras/cameras.py:82-84``)."""
+    return np.linalg.inv(T)
+
+
+def apply_transform(T: np.ndarray, pts: np.ndarray) -> np.ndarray:
+    """(4,4) @ (n,3) homogeneous with perspective divide."""
+    h = np.hstack([pts, np.ones((len(pts), 1))])
+    out = (T @ h.T).T
+    return out[:, :3] / out[:, 3:4]
+
+
+# ---------------------------------------------------------------------------
+# Pinhole projection
+# ---------------------------------------------------------------------------
+
+def project_points(
+    pts_world: np.ndarray,
+    cam_to_world: np.ndarray,
+    f: float, cx: float, cy: float, w: int, h: int,
+) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """World points → pixel coords (i=row, j=col) + camera-frame depth.
+
+    Metashape convention (reference ``cameras/cameras.py:404-444``):
+    image x = f * Xc/Zc + cx + w/2, image y = f * Yc/Zc + cy + h/2.
+    Returns (px_j, px_i, depth); callers filter depth>0 and bounds (F8).
+    """
+    world_to_cam = invert_rigid(cam_to_world)
+    pc = apply_transform(world_to_cam, pts_world)
+    z = pc[:, 2]
+    with np.errstate(divide="ignore", invalid="ignore"):
+        x = f * pc[:, 0] / z + cx + w / 2.0
+        y = f * pc[:, 1] / z + cy + h / 2.0
+    return x, y, z
+
+
+def in_image_mask(px_x: np.ndarray, px_y: np.ndarray, z: np.ndarray, w: int, h: int) -> np.ndarray:
+    """in-front + in-bounds predicate (reference ``cameras/cameras.py:328-369``)."""
+    return (z > 0) & (px_x >= 0) & (px_x < w) & (px_y >= 0) & (px_y < h)
+
+
+# ---------------------------------------------------------------------------
+# Ray casting (pixel → world unit direction)
+# ---------------------------------------------------------------------------
+
+def cast_rays(
+    px_x: np.ndarray, px_y: np.ndarray,
+    cam_to_world: np.ndarray,
+    f: float, cx: float, cy: float, w: int, h: int,
+    length: float = 1.0,
+) -> tuple[np.ndarray, np.ndarray]:
+    """Pixel coords → (origin (n,3), end (n,3)) world-frame segments of
+    ``length`` (reference ``cameras/cameras.py:574-628``)."""
+    n = len(px_x)
+    dirs_cam = np.stack(
+        [
+            (np.asarray(px_x, dtype=np.float64) - cx - w / 2.0) / f,
+            (np.asarray(px_y, dtype=np.float64) - cy - h / 2.0) / f,
+            np.ones(n),
+        ],
+        axis=1,
+    )
+    dirs_cam /= np.linalg.norm(dirs_cam, axis=1, keepdims=True)
+    R = cam_to_world[:3, :3]
+    # normalize out any uniform scale in the rotation block
+    scale = np.cbrt(abs(np.linalg.det(R)))
+    Rn = R / scale
+    dirs_world = (Rn @ dirs_cam.T).T
+    origin = cam_to_world[:3, 3]
+    starts = np.tile(origin, (n, 1))
+    ends = starts + dirs_world * length
+    return starts, ends
+
+
+def ray_angle_from_vertical(starts: np.ndarray, ends: np.ndarray) -> np.ndarray:
+    """arccos(|dz|/‖d‖) in radians — the F5 angle filter
+    (reference ``cameras/cameras.py:1569-1578``)."""
+    d = ends - starts
+    nrm = np.linalg.norm(d, axis=1)
+    with np.errstate(invalid="ignore", divide="ignore"):
+        return np.arccos(np.abs(d[:, 2]) / np.where(nrm == 0, np.nan, nrm))
+
+
+# ---------------------------------------------------------------------------
+# Brown–Conrady distortion (forward model)
+# ---------------------------------------------------------------------------
+
+def brown_conrady_distort(
+    xn: np.ndarray, yn: np.ndarray, params: dict[str, float],
+) -> tuple[np.ndarray, np.ndarray]:
+    """Normalized camera coords → distorted normalized coords.
+    Parameter set ⊆ {k1..k4, p1, p2, b1, b2} (Metashape convention;
+    reference ``cameras/derived_cameras.py:151-196``)."""
+    k1 = params.get("k1", 0.0); k2 = params.get("k2", 0.0)
+    k3 = params.get("k3", 0.0); k4 = params.get("k4", 0.0)
+    p1 = params.get("p1", 0.0); p2 = params.get("p2", 0.0)
+    r2 = xn * xn + yn * yn
+    radial = 1.0 + k1 * r2 + k2 * r2**2 + k3 * r2**3 + k4 * r2**4
+    xd = xn * radial + p1 * (r2 + 2 * xn * xn) + 2 * p2 * xn * yn
+    yd = yn * radial + p2 * (r2 + 2 * yn * yn) + 2 * p1 * xn * yn
+    return xd, yd
+
+
+# ---------------------------------------------------------------------------
+# Segment–segment closest distance (the J8 theta-join kernel)
+# ---------------------------------------------------------------------------
+
+def segment_pair_closest(
+    a0: np.ndarray, a1: np.ndarray, b0: np.ndarray, b1: np.ndarray,
+) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """Closest points and distance between segment batches.
+
+    a0,a1,b0,b1: (n,3). Returns (pA (n,3), pB (n,3), dist (n,)).
+    Clamped to segment endpoints; parallel segments handled by projecting
+    endpoints. Re-derivation of the reference's pair kernel
+    (``utils/numeric.py:39-236``) — standard Eberly formulation, not a copy.
+    """
+    d1 = a1 - a0
+    d2 = b1 - b0
+    r = a0 - b0
+    aa = np.einsum("ij,ij->i", d1, d1)
+    ee = np.einsum("ij,ij->i", d2, d2)
+    ff = np.einsum("ij,ij->i", d2, r)
+    cc = np.einsum("ij,ij->i", d1, r)
+    bb = np.einsum("ij,ij->i", d1, d2)
+    denom = aa * ee - bb * bb
+    with np.errstate(divide="ignore", invalid="ignore"):
+        s = np.where(denom > 1e-14 * aa * ee + 1e-300, (bb * ff - cc * ee) / np.where(denom == 0, 1, denom), 0.0)
+    s = np.clip(s, 0.0, 1.0)
+    with np.errstate(divide="ignore", invalid="ignore"):
+        t = np.where(ee > 0, (bb * s + ff) / np.where(ee == 0, 1, ee), 0.0)
+    # re-clamp s for clamped t
+    t_cl = np.clip(t, 0.0, 1.0)
+    need = t != t_cl
+    with np.errstate(divide="ignore", invalid="ignore"):
+        s2 = np.where(aa > 0, (t_cl * bb - cc) / np.where(aa == 0, 1, aa), 0.0)
+    s = np.where(need, np.clip(s2, 0.0, 1.0), s)
+    t = t_cl
+    pA = a0 + d1 * s[:, None]
+    pB = b0 + d2 * t[:, None]
+    dist = np.linalg.norm(pA - pB, axis=1)
+    return pA, pB, dist
+
+
+def segment_clip_to_planes(
+    starts: np.ndarray, ends: np.ndarray, z_top: float, z_bottom: float,
+) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """Clip segments to the slab z ∈ [z_bottom, z_top]; segments must cross
+    both planes to survive (reference J9 flat-boundary case,
+    ``utils/geometric.py:144-254``). Returns (new_starts, new_ends, keep)."""
+    d = ends - starts
+    dz = d[:, 2]
+    with np.errstate(divide="ignore", invalid="ignore"):
+        t_top = (z_top - starts[:, 2]) / np.where(dz == 0, np.nan, dz)
+        t_bot = (z_bottom - starts[:, 2]) / np.where(dz == 0, np.nan, dz)
+    keep = np.isfinite(t_top) & np.isfinite(t_bot)
+    keep &= (np.minimum(t_top, t_bot) >= 0) & (np.maximum(t_top, t_bot) <= 1)
+    new_starts = starts + d * np.nan_to_num(t_top)[:, None]
+    new_ends = starts + d * np.nan_to_num(t_bot)[:, None]
+    return new_starts, new_ends, keep

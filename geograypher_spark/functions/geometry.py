@@ -1,0 +1,307 @@
+"""Pure-numpy computational-geometry kernels (vectorized, Arrow-UDF-ready).
+
+The reference leans on shapely/GEOS (``gpd.sjoin`` at ``meshes/meshes.py:1226``,
+``overlay`` at ``meshes/meshes.py:1240-1244``, ``unary_union`` at
+``utils/geometric.py:13-94``). This container has no GEOS, so the engine ships
+its own exact kernels, all batch-vectorized numpy so they run inside pandas
+UDFs without per-row Python:
+
+- WKB encode/decode for Polygon / MultiPolygon / Point (little-endian)
+- shoelace signed area, centroid
+- winding-number point-in-polygon (many points × one polygon), exact on
+  boundary via even-odd crossing with consistent tie handling
+- Sutherland–Hodgman clipping against a *convex* clipper (tile squares,
+  bboxes) → exact polygon∩rect pieces for zonal stats / overlay
+- triangle-soup union via boundary-edge extraction: for a set of triangles
+  sharing edges (a mesh region), the union boundary is exactly the set of
+  edges used an odd number of times — replaces GEOS ``unary_union`` for the
+  per-class face-union export (``meshes/meshes.py:1345-1381``)
+"""
+
+from __future__ import annotations
+
+import struct
+
+import numpy as np
+
+_WKB_POINT = 1
+_WKB_POLYGON = 3
+_WKB_MULTIPOLYGON = 6
+
+
+# ---------------------------------------------------------------------------
+# WKB
+# ---------------------------------------------------------------------------
+
+def polygon_to_wkb(rings: list[np.ndarray]) -> bytes:
+    """rings[0] = exterior (closed or open), rest = holes. (n,2) float64."""
+    out = [struct.pack("<BI", 1, _WKB_POLYGON), struct.pack("<I", len(rings))]
+    for ring in rings:
+        ring = np.asarray(ring, dtype=np.float64)
+        if not np.array_equal(ring[0], ring[-1]):
+            ring = np.vstack([ring, ring[:1]])
+        out.append(struct.pack("<I", len(ring)))
+        out.append(ring.astype("<f8").tobytes())
+    return b"".join(out)
+
+
+def multipolygon_to_wkb(polys: list[list[np.ndarray]]) -> bytes:
+    out = [struct.pack("<BI", 1, _WKB_MULTIPOLYGON), struct.pack("<I", len(polys))]
+    for rings in polys:
+        out.append(polygon_to_wkb(rings))
+    return b"".join(out)
+
+
+def point_to_wkb(x: float, y: float) -> bytes:
+    return struct.pack("<BIdd", 1, _WKB_POINT, x, y)
+
+
+def wkb_to_rings(wkb: bytes) -> list[list[np.ndarray]]:
+    """Decode WKB Polygon/MultiPolygon/Point → list of polygons, each a list
+    of (n,2) rings (exterior first). Points decode as a 1-vertex ring."""
+    off = 0
+
+    def _read_poly(off: int) -> tuple[list[np.ndarray], int]:
+        byte_order, gtype = struct.unpack_from("<BI", wkb, off)
+        assert byte_order == 1, "big-endian WKB not supported"
+        off += 5
+        if gtype == _WKB_POINT:
+            x, y = struct.unpack_from("<dd", wkb, off)
+            return [np.array([[x, y]])], off + 16
+        assert gtype == _WKB_POLYGON, f"unexpected geometry type {gtype}"
+        (n_rings,) = struct.unpack_from("<I", wkb, off)
+        off += 4
+        rings = []
+        for _ in range(n_rings):
+            (n_pts,) = struct.unpack_from("<I", wkb, off)
+            off += 4
+            pts = np.frombuffer(wkb, dtype="<f8", count=2 * n_pts, offset=off)
+            off += 16 * n_pts
+            rings.append(pts.reshape(-1, 2).astype(np.float64))
+        return rings, off
+
+    byte_order, gtype = struct.unpack_from("<BI", wkb, 0)
+    if gtype == _WKB_MULTIPOLYGON:
+        (n_polys,) = struct.unpack_from("<I", wkb, 5)
+        off = 9
+        polys = []
+        for _ in range(n_polys):
+            rings, off = _read_poly(off)
+            polys.append(rings)
+        return polys
+    rings, _ = _read_poly(0)
+    return [rings]
+
+
+# ---------------------------------------------------------------------------
+# Scalar polygon properties (vectorized over vertices)
+# ---------------------------------------------------------------------------
+
+def ring_signed_area(ring: np.ndarray) -> float:
+    x, y = ring[:, 0], ring[:, 1]
+    x1, y1 = np.roll(x, -1), np.roll(y, -1)
+    return 0.5 * float(np.sum(x * y1 - x1 * y))
+
+
+def polygon_area(rings: list[np.ndarray]) -> float:
+    """Exterior minus holes, absolute."""
+    a = abs(ring_signed_area(rings[0]))
+    for hole in rings[1:]:
+        a -= abs(ring_signed_area(hole))
+    return a
+
+
+def multipolygon_area(polys: list[list[np.ndarray]]) -> float:
+    return float(sum(polygon_area(rings) for rings in polys))
+
+
+def ring_centroid(ring: np.ndarray) -> tuple[float, float]:
+    x, y = ring[:, 0], ring[:, 1]
+    x1, y1 = np.roll(x, -1), np.roll(y, -1)
+    cross = x * y1 - x1 * y
+    a = np.sum(cross) / 2.0
+    if abs(a) < 1e-300:  # degenerate: mean of vertices
+        return float(np.mean(x[:-1] if len(x) > 1 else x)), float(np.mean(y[:-1] if len(y) > 1 else y))
+    cx = float(np.sum((x + x1) * cross) / (6.0 * a))
+    cy = float(np.sum((y + y1) * cross) / (6.0 * a))
+    return cx, cy
+
+
+def rings_bbox(polys: list[list[np.ndarray]]) -> tuple[float, float, float, float]:
+    pts = np.vstack([r for rings in polys for r in rings])
+    return (
+        float(pts[:, 0].min()), float(pts[:, 1].min()),
+        float(pts[:, 0].max()), float(pts[:, 1].max()),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Point-in-polygon: vectorized winding number (many points × one ring set)
+# ---------------------------------------------------------------------------
+
+def points_in_ring(px: np.ndarray, py: np.ndarray, ring: np.ndarray) -> np.ndarray:
+    """Crossing-number test, half-open edge convention → deterministic on
+    shared boundaries. (n_points,) bool."""
+    px = np.asarray(px, dtype=np.float64)[:, None]
+    py = np.asarray(py, dtype=np.float64)[:, None]
+    x0, y0 = ring[:-1, 0][None, :], ring[:-1, 1][None, :]
+    x1, y1 = ring[1:, 0][None, :], ring[1:, 1][None, :]
+    # edge crosses the horizontal ray from (px,py) to +inf
+    cond = (y0 <= py) != (y1 <= py)
+    with np.errstate(divide="ignore", invalid="ignore"):
+        xint = x0 + (py - y0) * (x1 - x0) / np.where(y1 == y0, np.inf, y1 - y0)
+    crossings = np.sum(cond & (px < xint), axis=1)
+    return (crossings % 2) == 1
+
+
+def points_in_polygon(px: np.ndarray, py: np.ndarray, rings: list[np.ndarray]) -> np.ndarray:
+    def _closed(r: np.ndarray) -> np.ndarray:
+        return r if np.array_equal(r[0], r[-1]) else np.vstack([r, r[:1]])
+
+    inside = points_in_ring(px, py, _closed(rings[0]))
+    for hole in rings[1:]:
+        inside &= ~points_in_ring(px, py, _closed(hole))
+    return inside
+
+
+def points_in_multipolygon(px: np.ndarray, py: np.ndarray, polys: list[list[np.ndarray]]) -> np.ndarray:
+    out = np.zeros(len(np.atleast_1d(px)), dtype=bool)
+    for rings in polys:
+        out |= points_in_polygon(px, py, rings)
+    return out
+
+
+def points_in_wkb(px: np.ndarray, py: np.ndarray, wkb: bytes) -> np.ndarray:
+    return points_in_multipolygon(px, py, wkb_to_rings(wkb))
+
+
+# ---------------------------------------------------------------------------
+# Sutherland–Hodgman clip against a convex clipper
+# ---------------------------------------------------------------------------
+
+def clip_ring_convex(subject: np.ndarray, clipper: np.ndarray) -> np.ndarray:
+    """Clip a (possibly concave) subject ring by a convex CCW clipper ring.
+    Returns (m,2) clipped ring (open) or empty array. Exact for the
+    polygon∩tile pieces of zonal stats / overlay (``utils/geospatial.py:150-217``).
+    """
+    subject = np.asarray(subject, dtype=np.float64)
+    if np.array_equal(subject[0], subject[-1]):
+        subject = subject[:-1]
+    clipper = np.asarray(clipper, dtype=np.float64)
+    if np.array_equal(clipper[0], clipper[-1]):
+        clipper = clipper[:-1]
+    if ring_signed_area(np.vstack([clipper, clipper[:1]])) < 0:
+        clipper = clipper[::-1]
+    out = subject
+    n = len(clipper)
+    for i in range(n):
+        if len(out) == 0:
+            return np.empty((0, 2))
+        a, b = clipper[i], clipper[(i + 1) % n]
+        ex, ey = b[0] - a[0], b[1] - a[1]
+        px, py = out[:, 0], out[:, 1]
+        side = ex * (py - a[1]) - ey * (px - a[0])  # >=0 → inside (left of edge)
+        nxt = np.roll(out, -1, axis=0)
+        side_n = np.roll(side, -1)
+        new_pts = []
+        for j in range(len(out)):
+            cur_in, nxt_in = side[j] >= 0, side_n[j] >= 0
+            if cur_in:
+                new_pts.append(out[j])
+            if cur_in != nxt_in:
+                # intersection of segment out[j]→nxt[j] with clip edge line
+                d = side[j] - side_n[j]
+                t = side[j] / d if d != 0 else 0.0
+                new_pts.append(out[j] + t * (nxt[j] - out[j]))
+        out = np.asarray(new_pts) if new_pts else np.empty((0, 2))
+    return out
+
+
+def clip_area_convex(subject: np.ndarray, clipper: np.ndarray) -> float:
+    clipped = clip_ring_convex(subject, clipper)
+    if len(clipped) < 3:
+        return 0.0
+    return abs(ring_signed_area(np.vstack([clipped, clipped[:1]])))
+
+
+def rect_ring(xmin: float, ymin: float, xmax: float, ymax: float) -> np.ndarray:
+    return np.array([[xmin, ymin], [xmax, ymin], [xmax, ymax], [xmin, ymax]])
+
+
+# ---------------------------------------------------------------------------
+# Triangle-soup union via boundary-edge extraction
+# ---------------------------------------------------------------------------
+
+def triangles_union_rings(tri_vert_ids: np.ndarray, coords: np.ndarray) -> list[np.ndarray]:
+    """Union of triangles that share vertices (a mesh region) as boundary
+    rings. ``tri_vert_ids``: (n,3) int vertex ids; ``coords``: (m,2).
+
+    An edge on the union boundary appears in exactly one triangle; interior
+    edges appear twice. Chain boundary edges into closed rings. Exact
+    (no floating-point construction) — replaces GEOS unary_union for
+    per-class face unions (reference ``meshes/meshes.py:1345-1381``).
+    Returns list of (k,2) closed rings (exterior CCW / holes CW as chained).
+    """
+    tri = np.asarray(tri_vert_ids, dtype=np.int64)
+    # directed edges, CCW per triangle (fix orientation by signed area)
+    p0, p1, p2 = coords[tri[:, 0]], coords[tri[:, 1]], coords[tri[:, 2]]
+    cross = (p1[:, 0] - p0[:, 0]) * (p2[:, 1] - p0[:, 1]) - (p1[:, 1] - p0[:, 1]) * (p2[:, 0] - p0[:, 0])
+    flip = cross < 0
+    t = tri.copy()
+    t[flip] = t[flip][:, [0, 2, 1]]
+    edges = np.concatenate([t[:, [0, 1]], t[:, [1, 2]], t[:, [2, 0]]], axis=0)
+    # boundary edge = directed edge whose reverse is absent
+    key = edges[:, 0] * (2**32) + edges[:, 1]
+    rkey = edges[:, 1] * (2**32) + edges[:, 0]
+    boundary = ~np.isin(key, rkey)
+    b_edges = edges[boundary]
+    # chain: successor map from vertex → next vertex (boundary is a 1-manifold
+    # for valid triangulations; duplicates resolved by first-seen order)
+    nxt: dict[int, list[int]] = {}
+    for a, b in b_edges:
+        nxt.setdefault(int(a), []).append(int(b))
+    rings: list[np.ndarray] = []
+    visited: set[tuple[int, int]] = set()
+    for a0, b0 in b_edges:
+        a0, b0 = int(a0), int(b0)
+        if (a0, b0) in visited:
+            continue
+        ring = [a0]
+        a, b = a0, b0
+        while True:
+            visited.add((a, b))
+            ring.append(b)
+            if b == a0:
+                break
+            succ = nxt.get(b, [])
+            # pick the first unvisited successor
+            nb = None
+            for c in succ:
+                if (b, c) not in visited:
+                    nb = c
+                    break
+            if nb is None:
+                break
+            a, b = b, nb
+        if ring[0] == ring[-1] and len(ring) > 3:
+            rings.append(coords[np.asarray(ring, dtype=np.int64)])
+    return rings
+
+
+# ---------------------------------------------------------------------------
+# Triangle metrics (reference utils/numeric.py:271-327, X4)
+# ---------------------------------------------------------------------------
+
+def triangle_areas_3d(p0: np.ndarray, p1: np.ndarray, p2: np.ndarray) -> np.ndarray:
+    """(n,3) each → (n,) 3D triangle areas via cross product."""
+    c = np.cross(p1 - p0, p2 - p0)
+    return 0.5 * np.linalg.norm(c, axis=-1)
+
+
+def triangle_areas_2d(p0: np.ndarray, p1: np.ndarray, p2: np.ndarray) -> np.ndarray:
+    """z-projected (plan-view) areas; with 3D ratio gives slope correction
+    (reference ``meshes/meshes.py:881-900``)."""
+    return 0.5 * np.abs(
+        (p1[:, 0] - p0[:, 0]) * (p2[:, 1] - p0[:, 1])
+        - (p1[:, 1] - p0[:, 1]) * (p2[:, 0] - p0[:, 0])
+    )
