@@ -105,6 +105,95 @@ def salted_equi_join(
     return joined.drop("_salt")
 
 
+@pandas_udf(T.DoubleType())
+def overlap_area_udf(
+    x0: pd.Series, y0: pd.Series, x1: pd.Series, y1: pd.Series,
+    x2: pd.Series, y2: pd.Series, wkb: pd.Series,
+) -> pd.Series:
+    """Exact 2D intersection area of triangle (x0..y2) with a WKB
+    (Multi)Polygon. Clips each polygon ring (concave OK) against the convex
+    triangle (Sutherland–Hodgman), exterior minus holes, summed over parts.
+
+    Replaces ``gpd.overlay(..., how="intersection")`` area computation
+    (reference ``meshes/meshes.py:1240-1244``) without GEOS.
+    """
+    n = len(x0)
+    out = np.zeros(n, dtype=np.float64)
+    tri = np.stack([
+        np.stack([x0.to_numpy(float), y0.to_numpy(float)], axis=1),
+        np.stack([x1.to_numpy(float), y1.to_numpy(float)], axis=1),
+        np.stack([x2.to_numpy(float), y2.to_numpy(float)], axis=1),
+    ], axis=1)  # (n, 3, 2)
+    codes, uniques = pd.factorize(wkb, use_na_sentinel=True)
+    for u_idx, u_wkb in enumerate(uniques):
+        polys = geom.wkb_to_rings(bytes(u_wkb))
+        idxs = np.nonzero(codes == u_idx)[0]
+        for i in idxs:
+            a = 0.0
+            for rings in polys:
+                a += geom.clip_area_convex(rings[0], tri[i])
+                for hole in rings[1:]:
+                    a -= geom.clip_area_convex(hole, tri[i])
+            out[i] = a
+    return pd.Series(out)
+
+
+def triangles_polygon_overlap(
+    faces: DataFrame,
+    polygons: DataFrame,
+    res: int = DEFAULT_RES,
+    broadcast_covering: bool = True,
+    salt_factor: int | None = None,
+    min_area: float = 1e-9,
+) -> DataFrame:
+    """Candidate cell join (triangle bbox covering × polygon covering) +
+    exact intersection-area refine → one row per overlapping (face, polygon)
+    pair with ``overlap_area``.
+
+    ``min_area`` (default 1e-9, i.e. nm² in meter CRS) drops degenerate
+    boundary-touch slivers whose area is floating-point noise — the
+    reference's GEOS ``set_precision`` snapping plays the same role
+    (``meshes/meshes.py:1197-1203``).
+
+    ``faces`` needs columns x0..y2 (triangle 2D coords) plus any keys.
+    """
+    # triangle covering: cells of the triangle's bbox via explode of a
+    # per-row cell array (triangles are small vs cells; usually 1-4 cells)
+    s = F.lit(C.cell_size(res))
+    fxmin = F.least("x0", "x1", "x2"); fxmax = F.greatest("x0", "x1", "x2")
+    fymin = F.least("y0", "y1", "y2"); fymax = F.greatest("y0", "y1", "y2")
+    ix0 = F.floor(fxmin / s).cast("long"); ix1 = F.floor(fxmax / s).cast("long")
+    iy0 = F.floor(fymin / s).cast("long"); iy1 = F.floor(fymax / s).cast("long")
+    offset = F.lit(1 << 28).cast("long")
+    res_bits = F.lit(int(res)).cast("long")
+    cells = F.flatten(F.transform(
+        F.sequence(ix0, ix1),
+        lambda ix: F.transform(
+            F.sequence(iy0, iy1),
+            lambda iy: F.shiftleft(res_bits, 58)
+            .bitwiseOR(F.shiftleft(ix + offset, 29))
+            .bitwiseOR(iy + offset),
+        ),
+    ))
+    tri_cells = faces.withColumn("cell", F.explode(cells))
+    cover = polygon_covering_cells(polygons, res=res)
+    if broadcast_covering and salt_factor is None:
+        cand = tri_cells.join(F.broadcast(cover), "cell")
+    elif salt_factor:
+        cand = salted_equi_join(tri_cells, cover, "cell", salt_factor)
+    else:
+        cand = tri_cells.join(cover, "cell")
+    # a (face, polygon) pair can match in several cells → dedup before the
+    # expensive refine (cheap: candidate set is already small)
+    key_cols = [c for c in cand.columns if c != "cell"]
+    cand = cand.dropDuplicates(key_cols)
+    refined = cand.withColumn(
+        "overlap_area",
+        overlap_area_udf("x0", "y0", "x1", "y1", "x2", "y2", "geometry_wkb"),
+    ).filter(F.col("overlap_area") > min_area)
+    return refined.drop("cell", "geometry_wkb")
+
+
 def points_in_polygons(
     points: DataFrame,
     polygons: DataFrame,

@@ -1,0 +1,251 @@
+"""Visibility join: per-(camera, pixel) first mesh face hit — z-buffer
+rasterization as a distributed join.
+
+Reference J1 (``meshes/meshes.py:1645-1823``): off-screen VTK rendering of
+faces colored with base-256-encoded ids, screenshot, decode. Here instead:
+
+1. **Candidate stage** — camera frustum-footprint covering cells ⋈ face
+   bbox covering cells (cell equi-join, broadcast cameras when few, salted
+   otherwise). Keeps the per-camera rasterizer input bounded: each camera
+   sees only faces its frustum can reach, the Spark analog of the
+   reference's per-cluster submeshes (J12).
+2. **Rasterize stage** — ``applyInPandas`` grouped by camera_id: software
+   z-buffer with perspective-correct depth (linear 1/z in screen space),
+   pixel-center sampling. Emits ``(camera_id, face_id, pixel_count)``
+   (the aggregated pix2face map) or per-pixel rows for rendering sinks.
+
+No GPU, no VTK, no base-256 trick (X9) — face ids stay int64 end to end.
+"""
+
+from __future__ import annotations
+
+from typing import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from ..functions import camera as cam
+from ..functions import cells as C
+
+FACE_COORD_COLS = ["x0", "y0", "z0", "x1", "y1", "z1", "x2", "y2", "z2"]
+
+
+# ---------------------------------------------------------------------------
+# Rasterizer kernel (numpy, used inside applyInPandas)
+# ---------------------------------------------------------------------------
+
+def rasterize_zbuffer(
+    tri_px: np.ndarray,  # (n, 3, 2) screen coords per face vertex
+    tri_z: np.ndarray,   # (n, 3) camera-frame depths
+    face_ids: np.ndarray,
+    w: int, h: int,
+) -> np.ndarray:
+    """(h, w) int64 image of face ids, -1 = no hit. Pixel (r, c) sampled at
+    image coords (c+0.5, r+0.5). Perspective-correct depth via linear 1/z."""
+    img_face = np.full((h, w), -1, dtype=np.int64)
+    img_depth = np.full((h, w), np.inf, dtype=np.float64)
+    # skip faces with any vertex at/behind the camera (scene cameras are
+    # above the mesh; general frustum clipping is future work)
+    ok = (tri_z > 1e-12).all(axis=1)
+    for t in np.nonzero(ok)[0]:
+        p = tri_px[t]  # (3,2) x=col coord, y=row coord
+        xmin = max(int(np.floor(p[:, 0].min() - 0.5)), 0)
+        xmax = min(int(np.ceil(p[:, 0].max() - 0.5)), w - 1)
+        ymin = max(int(np.floor(p[:, 1].min() - 0.5)), 0)
+        ymax = min(int(np.ceil(p[:, 1].max() - 0.5)), h - 1)
+        if xmin > xmax or ymin > ymax:
+            continue
+        xs = np.arange(xmin, xmax + 1) + 0.5
+        ys = np.arange(ymin, ymax + 1) + 0.5
+        gx, gy = np.meshgrid(xs, ys, indexing="xy")
+        # barycentric
+        x0, y0 = p[0]; x1, y1 = p[1]; x2, y2 = p[2]
+        d = (y1 - y2) * (x0 - x2) + (x2 - x1) * (y0 - y2)
+        if abs(d) < 1e-300:
+            continue
+        l0 = ((y1 - y2) * (gx - x2) + (x2 - x1) * (gy - y2)) / d
+        l1 = ((y2 - y0) * (gx - x2) + (x0 - x2) * (gy - y2)) / d
+        l2 = 1.0 - l0 - l1
+        inside = (l0 >= 0) & (l1 >= 0) & (l2 >= 0)
+        if not inside.any():
+            continue
+        inv_z = l0 / tri_z[t, 0] + l1 / tri_z[t, 1] + l2 / tri_z[t, 2]
+        depth = 1.0 / inv_z
+        rows = gy[inside].astype(np.int64)  # gy holds r+0.5
+        cols = gx[inside].astype(np.int64)
+        dsel = depth[inside]
+        closer = dsel < img_depth[rows, cols]
+        img_depth[rows[closer], cols[closer]] = dsel[closer]
+        img_face[rows[closer], cols[closer]] = face_ids[t]
+    return img_face
+
+
+def _render_group(pdf: pd.DataFrame, scale: float) -> np.ndarray:
+    """Shared per-camera render: returns the (h, w) face-id image."""
+    r0 = pdf.iloc[0]
+    c2w = np.asarray(r0["cam_to_world"], dtype=np.float64).reshape(4, 4)
+    f, cx, cy = float(r0["f"]), float(r0["cx"]), float(r0["cy"])
+    w, h = int(r0["w"]), int(r0["h"])
+    if scale != 1.0:
+        f, cx, cy = f * scale, cx * scale, cy * scale
+        w, h = int(round(w * scale)), int(round(h * scale))
+    coords = pdf[FACE_COORD_COLS].to_numpy(dtype=np.float64)
+    n = len(coords)
+    pts = coords.reshape(n * 3, 3)  # v0, v1, v2 interleaved per row? no:
+    # coords row = [x0,y0,z0,x1,y1,z1,x2,y2,z2] → reshape (n,3,3)
+    pts = coords.reshape(n, 3, 3).reshape(n * 3, 3)
+    px, py, z = cam.project_points(pts, c2w, f, cx, cy, w, h)
+    tri_px = np.stack([px, py], axis=1).reshape(n, 3, 2)
+    tri_z = z.reshape(n, 3)
+    return rasterize_zbuffer(
+        tri_px, tri_z, pdf["face_id"].to_numpy(np.int64), w, h)
+
+
+# ---------------------------------------------------------------------------
+# Candidate generation
+# ---------------------------------------------------------------------------
+
+def camera_footprint_cells(
+    cameras: DataFrame, z_min: float, z_max: float,
+    res: int, max_cells: int = 4096,
+) -> DataFrame:
+    """(camera cols..., cell): covering cells of each camera's frustum
+    footprint over the mesh z-slab [z_min, z_max] — corner rays intersected
+    with both planes, bbox of the 8 hits, covered at ``res``."""
+    cols = cameras.columns
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            outs = []
+            for _, row in pdf.iterrows():
+                c2w = np.asarray(row["cam_to_world"], dtype=np.float64).reshape(4, 4)
+                w, h = int(row["w"]), int(row["h"])
+                corners_x = np.array([0.0, w, 0.0, w])
+                corners_y = np.array([0.0, 0.0, h, h])
+                starts, ends = cam.cast_rays(
+                    corners_x, corners_y, c2w,
+                    float(row["f"]), float(row["cx"]), float(row["cy"]), w, h)
+                d = ends - starts
+                pts = []
+                for zp in (z_min, z_max):
+                    dz = d[:, 2]
+                    with np.errstate(divide="ignore", invalid="ignore"):
+                        t = (zp - starts[:, 2]) / np.where(dz == 0, np.nan, dz)
+                    hit = starts + d * np.nan_to_num(t, nan=0.0)[:, None]
+                    valid = np.isfinite(t) & (t > 0)
+                    if valid.any():
+                        pts.append(hit[valid][:, :2])
+                if not pts:
+                    continue
+                xy = np.vstack(pts)
+                cc = C.covering_cells_np(
+                    float(xy[:, 0].min()), float(xy[:, 1].min()),
+                    float(xy[:, 0].max()), float(xy[:, 1].max()),
+                    res, max_cells=max_cells)
+                o = pd.DataFrame({"cell": cc})
+                for c in cols:
+                    o[c] = [row[c]] * len(cc)
+                outs.append(o)
+            yield pd.concat(outs) if outs else pd.DataFrame(
+                {"cell": pd.Series([], dtype="int64"),
+                 **{c: pd.Series([], dtype=object) for c in cols}})
+
+    schema = T.StructType(
+        [T.StructField("cell", T.LongType())] + list(cameras.schema.fields))
+    return cameras.mapInPandas(gen, schema=schema)
+
+
+def candidate_camera_faces(
+    cameras: DataFrame, faces: DataFrame, res: int = 4,
+    broadcast_cameras: bool = True, salt_factor: int | None = None,
+) -> DataFrame:
+    """Cell equi-join of camera footprints × face centroid cells →
+    deduped (camera cols + face cols) candidate pairs."""
+    zstats = faces.agg(
+        F.min(F.least("z0", "z1", "z2")).alias("zmin"),
+        F.max(F.greatest("z0", "z1", "z2")).alias("zmax"),
+    ).collect()[0]
+    cam_cells = camera_footprint_cells(
+        cameras, float(zstats["zmin"]), float(zstats["zmax"]), res)
+    # face centroid cx/cy collides with the camera principal point cx/cy —
+    # the centroid is only needed for the cell key, so drop it after encoding
+    face_cells = faces.withColumn(
+        "cell", C.cell_id_col(F.col("cx"), F.col("cy"), res)
+    ).drop("cx", "cy", "cz")
+    if broadcast_cameras and salt_factor is None:
+        cand = face_cells.join(F.broadcast(cam_cells), "cell")
+    elif salt_factor:
+        from .spatial_join import salted_equi_join
+        cand = salted_equi_join(face_cells, cam_cells, "cell", salt_factor)
+    else:
+        cand = face_cells.join(cam_cells, "cell")
+    return cand.drop("cell").dropDuplicates(["camera_id", "face_id"])
+
+
+# ---------------------------------------------------------------------------
+# The operator
+# ---------------------------------------------------------------------------
+
+VISIBILITY_SCHEMA = T.StructType([
+    T.StructField("camera_id", T.LongType()),
+    T.StructField("face_id", T.LongType()),
+    T.StructField("pixel_count", T.LongType()),
+])
+
+
+def visibility_join(
+    cameras: DataFrame, faces: DataFrame,
+    res: int = 4, scale: float = 1.0,
+    salt_factor: int | None = None,
+) -> DataFrame:
+    """→ (camera_id, face_id, pixel_count): for every camera, the number of
+    pixels whose first hit is each face (pixel_count > 0 only). The
+    engine's pix2face analog, aggregated (SURVEY §1.1 'pix2face map')."""
+    cand = candidate_camera_faces(
+        cameras, faces, res=res, salt_factor=salt_factor)
+
+    def agg(key, pdf: pd.DataFrame) -> pd.DataFrame:
+        img = _render_group(pdf, scale)
+        hit = img[img >= 0]
+        if len(hit) == 0:
+            return pd.DataFrame({"camera_id": pd.Series([], dtype="int64"),
+                                 "face_id": pd.Series([], dtype="int64"),
+                                 "pixel_count": pd.Series([], dtype="int64")})
+        ids, counts = np.unique(hit, return_counts=True)
+        return pd.DataFrame({
+            "camera_id": np.full(len(ids), key[0], dtype=np.int64),
+            "face_id": ids,
+            "pixel_count": counts.astype(np.int64),
+        })
+
+    return cand.repartition("camera_id").groupBy("camera_id").applyInPandas(
+        agg, schema=VISIBILITY_SCHEMA)
+
+
+def render_face_images(
+    cameras: DataFrame, faces: DataFrame,
+    res: int = 4, scale: float = 1.0,
+) -> DataFrame:
+    """→ (camera_id, w, h, face_image:binary): full pix2face images as
+    int64-LE bytes — feeds the render sink (S12) / label-mask export."""
+    cand = candidate_camera_faces(cameras, faces, res=res)
+    schema = T.StructType([
+        T.StructField("camera_id", T.LongType()),
+        T.StructField("w", T.IntegerType()),
+        T.StructField("h", T.IntegerType()),
+        T.StructField("face_image", T.BinaryType()),
+    ])
+
+    def agg(key, pdf: pd.DataFrame) -> pd.DataFrame:
+        img = _render_group(pdf, scale)
+        return pd.DataFrame({
+            "camera_id": [key[0]],
+            "w": [img.shape[1]], "h": [img.shape[0]],
+            "face_image": [img.astype("<i8").tobytes()],
+        })
+
+    return cand.repartition("camera_id").groupBy("camera_id").applyInPandas(
+        agg, schema=schema)

@@ -1,0 +1,59 @@
+"""End-to-end pipeline compositions (the reference's CLI entrypoints).
+
+Each pipeline is a declarative DataFrame plan — Catalyst owns predicate
+pushdown / join ordering; we own the spatial-candidate generation, salting
+and the Arrow kernels.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..operators import aggregates as A
+from ..operators import spatial_join as SJ
+
+
+def slope_ratio_col() -> F.Column:
+    """3D/2D triangle area ratio from the 9 coord columns (closed-form cross
+    product, pure column exprs — X4, reference ``utils/numeric.py:271-327``).
+    Vertical faces (2D area → 0) get ratio 0 so they never dominate a
+    polygon vote (they project to nothing in plan view)."""
+    ax, ay, az = (F.col("x1") - F.col("x0"), F.col("y1") - F.col("y0"), F.col("z1") - F.col("z0"))
+    bx, by, bz = (F.col("x2") - F.col("x0"), F.col("y2") - F.col("y0"), F.col("z2") - F.col("z0"))
+    cx = ay * bz - az * by
+    cy = az * bx - ax * bz
+    cz = ax * by - ay * bx
+    area3d = F.sqrt(cx * cx + cy * cy + cz * cz) / 2
+    area2d = F.abs(ax * by - ay * bx) / 2
+    return F.when(area2d > 1e-12, area3d / area2d).otherwise(F.lit(0.0))
+
+
+def label_polygons(
+    faces: DataFrame,
+    polygons: DataFrame,
+    class_col: str = "class_id",
+    res: int = SJ.DEFAULT_RES,
+    use_slope_weight: bool = True,
+    salt_factor: int | None = None,
+) -> DataFrame:
+    """The minimum end-to-end query (SURVEY §7 step 2): assign each polygon
+    the class whose faces cover the most (slope-corrected) area inside it.
+
+    Reference: ``TexturedPhotogrammetryMesh.label_polygons``
+    (``meshes/meshes.py:1117-1282``) = sjoin/overlay (J2/J5) + weighted-area
+    groupby (A5) + idxmax (W1).
+
+    faces: (face_id, x0..z2, class_col); polygons: (polygon_id, geometry_wkb).
+    Returns (polygon_id, pred_class, total_weight).
+    """
+    f = faces.filter(F.col(class_col).isNotNull())  # F4 finite-label mask
+    overlap = SJ.triangles_polygon_overlap(
+        f.select("face_id", "x0", "y0", "z0", "x1", "y1", "z1", "x2", "y2", "z2", class_col),
+        polygons.select("polygon_id", "geometry_wkb"),
+        res=res, salt_factor=salt_factor,
+        broadcast_covering=salt_factor is None,
+    )
+    weight = F.col("overlap_area") * (slope_ratio_col() if use_slope_weight else F.lit(1.0))
+    weighted = overlap.withColumn("weight", weight)
+    return A.weighted_argmax(weighted, ["polygon_id"], class_col, "weight")

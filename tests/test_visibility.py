@@ -1,0 +1,145 @@
+"""Visibility z-buffer join: pixel-exact analytic oracle on a flat mesh
+(reference ``tests/test_derived_meshes.py`` analog) + occlusion ordering.
+"""
+
+import numpy as np
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from geograypher_spark.operators import visibility as V
+
+N = 201            # verts per side
+EXTENT = 2.0       # mesh spans [-2, 2]^2
+CELL = 2 * EXTENT / (N - 1)   # 0.02
+W = H = 200
+FOCAL = 100.0
+CAM_Z = 2.0
+# asymmetric sub-cell offsets keep every pixel center strictly off triangle
+# edges (a symmetric offset cancels on the quad diagonal since y flips)
+CAM_OFF_X = CELL / 4
+CAM_OFF_Y = CELL / 8
+
+
+def flat_mesh_tables():
+    xs = np.linspace(-EXTENT, EXTENT, N)
+    gx, gy = np.meshgrid(xs, xs, indexing="ij")
+    verts = np.stack([gx.ravel(), gy.ravel(), np.zeros(N * N)], axis=1)
+    idx = np.arange(N * N).reshape(N, N)
+    a = idx[:-1, :-1].ravel(); b = idx[1:, :-1].ravel()
+    c = idx[1:, 1:].ravel(); d = idx[:-1, 1:].ravel()
+    tris = np.concatenate([np.stack([a, b, c], 1), np.stack([a, c, d], 1)])
+    return verts, tris
+
+
+def faces_df(spark, verts, tris):
+    p0, p1, p2 = verts[tris[:, 0]], verts[tris[:, 1]], verts[tris[:, 2]]
+    cen = (p0 + p1 + p2) / 3
+    pdf = pd.DataFrame({
+        "face_id": np.arange(len(tris), dtype=np.int64),
+        "x0": p0[:, 0], "y0": p0[:, 1], "z0": p0[:, 2],
+        "x1": p1[:, 0], "y1": p1[:, 1], "z1": p1[:, 2],
+        "x2": p2[:, 0], "y2": p2[:, 1], "z2": p2[:, 2],
+        "cx": cen[:, 0], "cy": cen[:, 1], "cz": cen[:, 2],
+    })
+    return spark.createDataFrame(pdf)
+
+
+def camera_df(spark, x=CAM_OFF_X, y=CAM_OFF_Y, z=CAM_Z):
+    c2w = [1.0, 0, 0, x, 0, -1.0, 0, y, 0, 0, -1.0, z, 0, 0, 0, 1.0]
+    pdf = pd.DataFrame([{
+        "camera_id": 0, "cam_to_world": c2w,
+        "f": FOCAL, "cx": 0.0, "cy": 0.0, "w": W, "h": H,
+    }])
+    return spark.createDataFrame(pdf)
+
+
+def expected_face(r, c):
+    """Analytic pix2face for the flat mesh + offset nadir camera."""
+    # pixel center → world (camera at (off, off, z), f/z = 50 px per meter)
+    wx = (c + 0.5 - W / 2) / (FOCAL / CAM_Z) + CAM_OFF_X
+    wy = -(r + 0.5 - H / 2) / (FOCAL / CAM_Z) + CAM_OFF_Y
+    fi = (wx + EXTENT) / CELL
+    fj = (wy + EXTENT) / CELL
+    i, j = int(np.floor(fi)), int(np.floor(fj))
+    if not (0 <= i < N - 1 and 0 <= j < N - 1):
+        return -1
+    u, v = fi - i, fj - j
+    quad = i * (N - 1) + j
+    # lower tri (a,b,c) covers v <= u (verts (i,j),(i+1,j),(i+1,j+1))
+    return quad if v <= u else quad + (N - 1) ** 2
+
+
+def test_render_pixel_exact(spark):
+    verts, tris = flat_mesh_tables()
+    fdf = faces_df(spark, verts, tris)
+    cdf = camera_df(spark)
+    row = V.render_face_images(cdf, fdf).collect()[0]
+    img = np.frombuffer(bytes(row["face_image"]), dtype="<i8").reshape(row["h"], row["w"])
+    exp = np.array([[expected_face(r, c) for c in range(W)] for r in range(H)])
+    mismatches = int((img != exp).sum())
+    assert mismatches == 0, f"{mismatches} of {W*H} pixels wrong"
+
+
+def test_visibility_counts_sum_to_image(spark):
+    verts, tris = flat_mesh_tables()
+    fdf = faces_df(spark, verts, tris)
+    cdf = camera_df(spark)
+    counts = V.visibility_join(cdf, fdf)
+    total = counts.agg(F.sum("pixel_count")).collect()[0][0]
+    assert total == W * H  # every pixel hits the mesh
+    per_cam = counts.groupBy("camera_id").count().collect()
+    assert len(per_cam) == 1
+
+
+def test_occlusion_nearer_face_wins(spark):
+    # big ground square at z=0, small square at z=1 centered under camera
+    def square(fid0, half, z):
+        quad = np.array([
+            [-half, -half, z], [half, -half, z], [half, half, z], [-half, half, z]])
+        rows = []
+        for k, tri in enumerate([(0, 1, 2), (0, 2, 3)]):
+            p = quad[list(tri)]
+            rows.append({
+                "face_id": fid0 + k,
+                "x0": p[0, 0], "y0": p[0, 1], "z0": p[0, 2],
+                "x1": p[1, 0], "y1": p[1, 1], "z1": p[1, 2],
+                "x2": p[2, 0], "y2": p[2, 1], "z2": p[2, 2],
+                "cx": p[:, 0].mean(), "cy": p[:, 1].mean(), "cz": p[:, 2].mean(),
+            })
+        return rows
+
+    pdf = pd.DataFrame(square(0, 1.9, 0.0) + square(2, 0.5, 1.0))
+    fdf = spark.createDataFrame(pdf)
+    cdf = camera_df(spark, x=0.0, y=0.0)
+    got = {r["face_id"]: r["pixel_count"]
+           for r in V.visibility_join(cdf, fdf).collect()}
+    # at z=1 the camera is 1m away: f/Zc = 100 → the 1x1m square spans
+    # 100x100 px = 10000 px, split between its 2 faces
+    assert got[2] + got[3] == 100 * 100
+    # ground: 1.9m half-width at Zc=2m, 50 px/m → 190x190 px footprint,
+    # minus the 100x100 occluded by the high square
+    assert got[0] + got[1] == 190 * 190 - 10000
+    # z-buffer sanity: without the high square the ground gets them back
+    ground_only = {r["face_id"]: r["pixel_count"] for r in V.visibility_join(
+        cdf, spark.createDataFrame(pd.DataFrame(square(0, 1.9, 0.0)))).collect()}
+    assert ground_only[0] + ground_only[1] == 190 * 190
+
+
+def test_camera_footprint_prunes_far_faces(spark):
+    """Candidate join must exclude faces far outside the frustum footprint."""
+    verts, tris = flat_mesh_tables()
+    fdf = faces_df(spark, verts, tris)
+    # shift a copy of the mesh 1000m away — none of it is visible
+    far = fdf.select(
+        (F.col("face_id") + 10**6).alias("face_id"),
+        *[(F.col(c) + (1000.0 if c.startswith(("x", "cx")) else 0.0)).alias(c)
+          for c in fdf.columns if c != "face_id"])
+    both = fdf.unionByName(far)
+    cdf = camera_df(spark)
+    cand = V.candidate_camera_faces(cdf, both)
+    far_candidates = cand.filter(F.col("face_id") >= 10**6).count()
+    assert far_candidates == 0
+    counts = V.visibility_join(cdf, both)
+    assert counts.filter(F.col("face_id") >= 10**6).count() == 0
+    assert counts.agg(F.sum("pixel_count")).collect()[0][0] == W * H
