@@ -1,0 +1,109 @@
+"""kNN join via cell-ring expansion.
+
+Reference J7 (``meshes/meshes.py:287-322``): scipy KDTree 1-NN query to
+transfer textures from original to downsampled vertices. A KDTree is a
+single-machine structure; the distributed form is:
+
+1. reference points get a cell id at ``res``
+2. query points explode to their (2k+1)^2 ring of cells → cell equi-join
+3. ``row_number`` window per query over distance (tie: lowest ref id) → top-k
+4. queries with no candidate in the ring retry with a doubled ring
+   (driver-side loop over the shrinking residual — log #iterations)
+
+Deterministic: distance ties break on reference id.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from ..functions import cells as C
+
+
+def _ring_cells_col(x, y, res: int, k: int):
+    """Array column of the (2k+1)^2 cells around the point's cell."""
+    s = F.lit(C.cell_size(res))
+    ix = F.floor(x / s).cast("long")
+    iy = F.floor(y / s).cast("long")
+    offset = F.lit(1 << 28).cast("long")
+    res_bits = F.lit(int(res)).cast("long")
+    d = F.sequence(F.lit(-k), F.lit(k))
+    return F.flatten(F.transform(
+        d, lambda dx: F.transform(
+            d, lambda dy: F.shiftleft(res_bits, 58)
+            .bitwiseOR(F.shiftleft(ix + dx + offset, 29))
+            .bitwiseOR(iy + dy + offset))))
+
+
+def knn_join(
+    queries: DataFrame,
+    refs: DataFrame,
+    query_id: str = "query_id",
+    ref_id: str = "ref_id",
+    k: int = 1,
+    res: int = 7,
+    dims: tuple[str, ...] = ("x", "y"),
+    max_expansions: int = 6,
+    broadcast_refs: bool = True,
+) -> DataFrame:
+    """→ query cols + (ref_id, dist, rank). Exact kNN provided the ring at
+    the final expansion contains ≥k refs — each expansion doubles the ring
+    radius, and a hit is only accepted once the ring guarantees no closer
+    ref outside (dist ≤ ring_radius), so results equal the KDTree answer.
+    """
+    q_dims = [f"_q_{d}" for d in dims]
+    r_dims = [f"_r_{d}" for d in dims]
+    q = queries.select(query_id, *[F.col(d).alias(a) for d, a in zip(dims, q_dims)])
+    r = refs.select(ref_id, *[F.col(d).alias(a) for d, a in zip(dims, r_dims)])
+    r = r.withColumn("cell", C.cell_id_col(F.col(r_dims[0]), F.col(r_dims[1]), res))
+    if broadcast_refs:
+        r = F.broadcast(r)
+
+    dist_expr = F.sqrt(sum(
+        (F.col(a) - F.col(b)) * (F.col(a) - F.col(b))
+        for a, b in zip(q_dims, r_dims)))
+
+    results = None
+    residual = q
+    ring = 1
+    for _ in range(max_expansions):
+        if residual.isEmpty():
+            break
+        cand = (
+            residual.withColumn("cell", F.explode(
+                _ring_cells_col(F.col(q_dims[0]), F.col(q_dims[1]), res, ring)))
+            .join(r, "cell")
+            .withColumn("dist", dist_expr)
+        )
+        # guarantee: accept only if the k-th distance fits inside the ring's
+        # guaranteed-covered radius (ring * cell_size) — else re-expand
+        guaranteed = ring * C.cell_size(res)
+        w = Window.partitionBy(query_id).orderBy(F.asc("dist"), F.asc(ref_id))
+        ranked = cand.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
+        kth = ranked.groupBy(query_id).agg(
+            F.max("dist").alias("_kth"), F.count("*").alias("_n"))
+        done_ids = kth.filter(
+            (F.col("_n") == k) & (F.col("_kth") <= F.lit(guaranteed))
+        ).select(query_id)
+        done = ranked.join(F.broadcast(done_ids), query_id, "left_semi").select(
+            query_id, ref_id, "dist", "rank")
+        results = done if results is None else results.unionByName(done)
+        residual = residual.join(F.broadcast(done_ids), query_id, "left_anti")
+        ring *= 2
+    if results is None:
+        results = q.limit(0).select(
+            query_id, F.lit(None).cast("long").alias(ref_id),
+            F.lit(None).cast("double").alias("dist"),
+            F.lit(None).cast("int").alias("rank"))
+    if not residual.isEmpty():
+        # final pass without the guarantee (best effort on sparse refs):
+        cand = (
+            residual.withColumn("cell", F.explode(
+                _ring_cells_col(F.col(q_dims[0]), F.col(q_dims[1]), res, ring)))
+            .join(r, "cell").withColumn("dist", dist_expr)
+        )
+        w = Window.partitionBy(query_id).orderBy(F.asc("dist"), F.asc(ref_id))
+        ranked = cand.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
+        results = results.unionByName(ranked.select(query_id, ref_id, "dist", "rank"))
+    return results

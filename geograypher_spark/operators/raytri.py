@@ -1,0 +1,224 @@
+"""Ray-pair proximity theta-join + community triangulation.
+
+Reference J8 (``utils/numeric.py:39-236`` pair kernel, ``:350-506`` blocked
+driver): all-pairs closest distance between 3D line segments computed in
+5000×5000 index blocks over the upper triangle, thresholded into a sparse
+edge list with 1/dist weights, cross-image-only.
+
+The blocked self-join is numpy's workaround for O(N²) memory. Spark-first
+this is a **spatial candidate join**: two segments within τ must have
+τ-dilated bounding boxes that intersect, so
+
+1. cover each segment's τ-dilated bbox with cells (left side) and its raw
+   bbox with cells (right side)
+2. cell equi-join with ``ray_id_a < ray_id_b`` and ``camera differs``
+   predicates pushed into the join — candidate pairs only where geometry
+   allows (O(N·density) instead of O(N²))
+3. exact segment–segment distance (vectorized Eberly kernel) as an Arrow
+   batch filter; weight = 1/dist (clamped)
+
+At 10¹² docs the candidate count is bounded by physical ray density per
+cell — the join never materializes the N² grid the reference blocks over.
+"""
+
+from __future__ import annotations
+
+from typing import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from ..functions import camera as cam
+from ..functions import cells as C
+
+RAY_COLS = ["sx", "sy", "sz", "ex", "ey", "ez"]
+
+
+def _segment_cover_cells(
+    df: DataFrame, res: int, dilate: float,
+    sx: str = "sx", sy: str = "sy", ex: str = "ex", ey: str = "ey",
+    out: str = "cell",
+) -> DataFrame:
+    """Explode each segment to the cells covering its (optionally dilated)
+    2D bbox. Pure column exprs (sequence × transform)."""
+    s = F.lit(C.cell_size(res))
+    xmin = F.least(sx, ex) - F.lit(dilate)
+    xmax = F.greatest(sx, ex) + F.lit(dilate)
+    ymin = F.least(sy, ey) - F.lit(dilate)
+    ymax = F.greatest(sy, ey) + F.lit(dilate)
+    ix0 = F.floor(xmin / s).cast("long"); ix1 = F.floor(xmax / s).cast("long")
+    iy0 = F.floor(ymin / s).cast("long"); iy1 = F.floor(ymax / s).cast("long")
+    offset = F.lit(1 << 28).cast("long")
+    res_bits = F.lit(int(res)).cast("long")
+    cells = F.flatten(F.transform(
+        F.sequence(ix0, ix1),
+        lambda ix: F.transform(
+            F.sequence(iy0, iy1),
+            lambda iy: F.shiftleft(res_bits, 58)
+            .bitwiseOR(F.shiftleft(ix + offset, 29))
+            .bitwiseOR(iy + offset))))
+    return df.withColumn(out, F.explode(cells))
+
+
+def _pair_distance_udf():
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf(T.DoubleType())
+    def seg_dist(
+        asx: pd.Series, asy: pd.Series, asz: pd.Series,
+        aex: pd.Series, aey: pd.Series, aez: pd.Series,
+        bsx: pd.Series, bsy: pd.Series, bsz: pd.Series,
+        bex: pd.Series, bey: pd.Series, bez: pd.Series,
+    ) -> pd.Series:
+        a0 = np.stack([asx, asy, asz], axis=1).astype(np.float64)
+        a1 = np.stack([aex, aey, aez], axis=1).astype(np.float64)
+        b0 = np.stack([bsx, bsy, bsz], axis=1).astype(np.float64)
+        b1 = np.stack([bex, bey, bez], axis=1).astype(np.float64)
+        _, _, d = cam.segment_pair_closest(a0, a1, b0, b1)
+        return pd.Series(d)
+
+    return seg_dist
+
+
+def ray_proximity_edges(
+    rays: DataFrame,
+    tau: float,
+    res: int | None = None,
+    min_dist: float = 1e-8,
+    cross_camera_only: bool = True,
+) -> DataFrame:
+    """→ (src, dst, weight, dist): sparse proximity graph over segments.
+
+    ``rays``: (ray_id, camera_id, sx..ez). src < dst always; weight = 1/dist
+    (dist clamped below by ``min_dist`` — the reference's 1/dist with
+    potential inf is made finite and deterministic).
+    """
+    if res is None:
+        # cell comfortably larger than τ keeps ring logic unnecessary
+        res = max(0, min(C.MAX_RES, int(np.log2(C.BASE / max(tau * 4, 1e-6)))))
+    a_side = rays.select(
+        F.col("ray_id").alias("ray_a"), F.col("camera_id").alias("cam_a"),
+        *[F.col(c).alias(f"a_{c}") for c in RAY_COLS])
+    b_side = rays.select(
+        F.col("ray_id").alias("ray_b"), F.col("camera_id").alias("cam_b"),
+        *[F.col(c).alias(f"b_{c}") for c in RAY_COLS])
+    a = _segment_cover_cells(a_side, res, dilate=tau,
+                             sx="a_sx", sy="a_sy", ex="a_ex", ey="a_ey")
+    b = _segment_cover_cells(b_side, res, dilate=0.0,
+                             sx="b_sx", sy="b_sy", ex="b_ex", ey="b_ey")
+    cond = [a["cell"] == b["cell"], a["ray_a"] < b["ray_b"]]
+    if cross_camera_only:
+        cond.append(a["cam_a"] != b["cam_b"])
+    cand = a.join(b, cond).drop("cell").dropDuplicates(["ray_a", "ray_b"])
+    seg_dist = _pair_distance_udf()
+    dist = seg_dist(
+        "a_sx", "a_sy", "a_sz", "a_ex", "a_ey", "a_ez",
+        "b_sx", "b_sy", "b_sz", "b_ex", "b_ey", "b_ez")
+    edges = (
+        cand.withColumn("dist", dist)
+        .filter(F.col("dist") <= tau)
+        .select(
+            F.col("ray_a").alias("src"), F.col("ray_b").alias("dst"),
+            (F.lit(1.0) / F.greatest(F.col("dist"), F.lit(min_dist))).alias("weight"),
+            "dist")
+    )
+    return edges
+
+
+# ---------------------------------------------------------------------------
+# Connected components (A12 stand-in, deterministic)
+# ---------------------------------------------------------------------------
+
+def connected_components(
+    edges: DataFrame, src: str = "src", dst: str = "dst", max_iter: int = 50,
+) -> DataFrame:
+    """→ (node, component): component = min reachable node id, via
+    alternating min-label propagation (large-star/small-star style). The
+    reference uses Louvain (``utils/numeric.py:509-556``) whose resolution
+    splitting is seed-sensitive; components are the deterministic
+    contract our fixtures use (SURVEY §7 hard-part 1). For modularity
+    splitting on small collapsed graphs see ``louvain_driver``.
+    """
+    sym = (
+        edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
+        .union(edges.select(F.col(dst).alias("a"), F.col(src).alias("b")))
+        .distinct()
+    )
+    labels = sym.select("a").distinct().withColumn("component", F.col("a"))
+    sym = sym.persist()
+    labels = labels.persist()
+    for _ in range(max_iter):
+        neigh_min = (
+            sym.join(labels.withColumnRenamed("a", "b2"), sym["b"] == F.col("b2"))
+            .groupBy("a").agg(F.min("component").alias("neigh_comp"))
+        )
+        new_labels = (
+            labels.join(neigh_min, "a", "left")
+            .select("a", F.least("component", F.coalesce("neigh_comp", "component")).alias("component"))
+        ).persist()
+        changed = (
+            new_labels.join(labels.withColumnRenamed("component", "old"), "a")
+            .filter(F.col("component") != F.col("old")).limit(1).count()
+        )
+        labels.unpersist()
+        labels = new_labels
+        if changed == 0:
+            break
+    return labels.select(F.col("a").alias("node"), "component")
+
+
+def louvain_driver(edges_rows: list, resolution: float = 1.0, seed: int = 42):
+    """Driver-side Louvain on a *collapsed* (post-threshold, sparse) edge
+    list — the reference's exact dependency (networkx), usable when the
+    graph fits the driver (it does: edges are thresholded to physical
+    proximity). Returns list of sets of node ids, sorted by size desc."""
+    import networkx as nx
+
+    g = nx.Graph()
+    for r in edges_rows:
+        g.add_edge(int(r["src"]), int(r["dst"]), weight=float(r["weight"]))
+    comms = nx.community.louvain_communities(
+        g, weight="weight", resolution=resolution, seed=seed)
+    return sorted(comms, key=len, reverse=True)
+
+
+# ---------------------------------------------------------------------------
+# Community triangulation (A11)
+# ---------------------------------------------------------------------------
+
+TRIANGULATION_SCHEMA = T.StructType([
+    T.StructField("component", T.LongType()),
+    T.StructField("n_rays", T.IntegerType()),
+    T.StructField("px", T.DoubleType()),
+    T.StructField("py", T.DoubleType()),
+    T.StructField("pz", T.DoubleType()),
+])
+
+
+def triangulate_components(rays: DataFrame, components: DataFrame) -> DataFrame:
+    """Per component: mean of all-pairs clamped closest points (the
+    reference's ``intersection_average``, ``utils/numeric.py:330-347``).
+    Components are small (rays seeing one object) → applyInPandas per
+    component is bounded."""
+    tagged = rays.join(components, rays["ray_id"] == components["node"]).drop("node")
+
+    def agg(key, pdf: pd.DataFrame) -> pd.DataFrame:
+        s = pdf[["sx", "sy", "sz"]].to_numpy(np.float64)
+        e = pdf[["ex", "ey", "ez"]].to_numpy(np.float64)
+        n = len(s)
+        if n < 2:
+            return pd.DataFrame({
+                "component": [key[0]], "n_rays": [n],
+                "px": [np.nan], "py": [np.nan], "pz": [np.nan]})
+        ii, jj = np.triu_indices(n, k=1)
+        pa, pb, _ = cam.segment_pair_closest(s[ii], e[ii], s[jj], e[jj])
+        pts = np.concatenate([pa, pb])
+        m = pts.mean(axis=0)
+        return pd.DataFrame({
+            "component": [key[0]], "n_rays": [n],
+            "px": [m[0]], "py": [m[1]], "pz": [m[2]]})
+
+    return tagged.groupBy("component").applyInPandas(agg, schema=TRIANGULATION_SCHEMA)

@@ -1,0 +1,349 @@
+"""Raster↔vector tile-grid aggregation.
+
+Reference analogs:
+- A10 tiled-prediction assembly (``predictors/ortho_segmentor.py:273-431``):
+  overlapping prediction windows, ramped edge weights, accumulate weighted
+  per-class counts, per-pixel argmax band, all-zero → nodata
+- ortho window grid (``predictors/ortho_segmentor.py:24-29``, S6)
+- J6 zonal stats (``utils/geospatial.py:150-217``): per-polygon per-class
+  pixel counts
+- face-label rasterization (``meshes/meshes.py:2290-2356`` dtype policy)
+
+Design for scale: pixels NEVER become individual rows. Windows travel as
+binary arrays; a ``mapInPandas`` stage splits each window into its ≤4
+output-tile-aligned pieces (with ramp weights baked in), a single shuffle
+co-locates pieces per output tile, and ``applyInPandas`` does the
+accumulate+argmax as dense numpy. Long-format (tile, class, pixel_count)
+rows come out of the same pass for SQL-side consumers.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from typing import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from ..functions import geometry as geom
+
+NODATA = 255  # uint8 argmax nodata sentinel (reference uint8 policy, X19)
+
+
+@dataclass(frozen=True)
+class TileGrid:
+    """Affine tile grid: world (x, y) → tile (tx, ty) and pixel (col, row).
+    Pixel (0,0) of tile (0,0) has its outer corner at (x0, y0); y grows
+    northward in world space, row grows southward in the raster (GeoTIFF
+    convention)."""
+    x0: float
+    y0: float
+    gsd: float          # meters per pixel
+    tile_px: int        # pixels per tile side
+
+    @property
+    def tile_m(self) -> float:
+        return self.gsd * self.tile_px
+
+    def world_to_pixel(self, x: np.ndarray, y: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+        gx = np.floor((np.asarray(x) - self.x0) / self.gsd).astype(np.int64)
+        gy = np.floor((self.y0 - np.asarray(y)) / self.gsd).astype(np.int64)
+        return gx, gy
+
+    def pixel_center(self, gx: np.ndarray, gy: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+        x = self.x0 + (np.asarray(gx) + 0.5) * self.gsd
+        y = self.y0 - (np.asarray(gy) + 0.5) * self.gsd
+        return x, y
+
+    def tile_of_pixel(self, gx: np.ndarray, gy: np.ndarray):
+        return gx // self.tile_px, gy // self.tile_px
+
+
+def ramp_weights(h: int, w: int, frac: float = 0.25) -> np.ndarray:
+    """Edge-ramped weighting mask: 1.0 in the interior, linear ramp → ~0 at
+    the borders over ``frac`` of each dimension (reference
+    ``utils/numeric.py:14-36``). Deterministic per (h, w, frac)."""
+    def ramp(n: int) -> np.ndarray:
+        r = max(1, int(round(n * frac)))
+        v = np.ones(n)
+        up = (np.arange(r) + 1.0) / (r + 1.0)
+        v[:r] = up
+        v[n - r:] = up[::-1]
+        return v
+    return np.outer(ramp(h), ramp(w))
+
+
+# ---------------------------------------------------------------------------
+# Top-down rasterization of labeled faces (export_face_labels_raster analog)
+# ---------------------------------------------------------------------------
+
+def _tile_cover_cols(grid: TileGrid):
+    """Column expr: array of (tx, ty) tiles covering the triangle bbox."""
+    tm = F.lit(grid.tile_m)
+    fxmin = F.least("x0", "x1", "x2"); fxmax = F.greatest("x0", "x1", "x2")
+    fymin = F.least("y0", "y1", "y2"); fymax = F.greatest("y0", "y1", "y2")
+    tx0 = F.floor((fxmin - F.lit(grid.x0)) / tm).cast("long")
+    tx1 = F.floor((fxmax - F.lit(grid.x0)) / tm).cast("long")
+    # y axis flips: high world y → low tile row
+    ty0 = F.floor((F.lit(grid.y0) - fymax) / tm).cast("long")
+    ty1 = F.floor((F.lit(grid.y0) - fymin) / tm).cast("long")
+    return F.flatten(F.transform(
+        F.sequence(tx0, tx1),
+        lambda tx: F.transform(
+            F.sequence(ty0, ty1),
+            lambda ty: F.struct(tx.alias("tx"), ty.alias("ty")))))
+
+
+RASTERIZE_SCHEMA = T.StructType([
+    T.StructField("tile_x", T.LongType()),
+    T.StructField("tile_y", T.LongType()),
+    T.StructField("class_id", T.IntegerType()),
+    T.StructField("pixel_count", T.LongType()),
+])
+
+TILE_IMAGE_SCHEMA = T.StructType([
+    T.StructField("tile_x", T.LongType()),
+    T.StructField("tile_y", T.LongType()),
+    T.StructField("data", T.BinaryType()),   # uint8 class image, 255=nodata
+])
+
+
+def _rasterize_tile(pdf: pd.DataFrame, grid: TileGrid, tx: int, ty: int) -> np.ndarray:
+    """Orthographic top-down render of labeled triangles into one tile:
+    highest-z face wins per pixel (the drone's-eye view). Returns (tile_px,
+    tile_px) uint8 class image, NODATA where nothing lands."""
+    n = grid.tile_px
+    img = np.full((n, n), NODATA, dtype=np.uint8)
+    zbuf = np.full((n, n), -np.inf)
+    ox = grid.x0 + tx * grid.tile_m
+    oy = grid.y0 - ty * grid.tile_m
+    xs = ox + (np.arange(n) + 0.5) * grid.gsd          # pixel-center world x
+    ys = oy - (np.arange(n) + 0.5) * grid.gsd          # pixel-center world y
+    coords = pdf[["x0", "y0", "x1", "y1", "x2", "y2"]].to_numpy(np.float64)
+    zs = pdf[["z0", "z1", "z2"]].to_numpy(np.float64)
+    cls = pdf["class_id"].to_numpy()
+    for t in range(len(pdf)):
+        c = coords[t].reshape(3, 2)
+        cxmin = int(np.floor((c[:, 0].min() - ox) / grid.gsd))
+        cxmax = int(np.floor((c[:, 0].max() - ox) / grid.gsd))
+        cymin = int(np.floor((oy - c[:, 1].max()) / grid.gsd))
+        cymax = int(np.floor((oy - c[:, 1].min()) / grid.gsd))
+        cxmin = max(cxmin, 0); cxmax = min(cxmax, n - 1)
+        cymin = max(cymin, 0); cymax = min(cymax, n - 1)
+        if cxmin > cxmax or cymin > cymax:
+            continue
+        gx, gy = np.meshgrid(xs[cxmin:cxmax + 1], ys[cymin:cymax + 1], indexing="xy")
+        x0, y0 = c[0]; x1, y1 = c[1]; x2, y2 = c[2]
+        d = (y1 - y2) * (x0 - x2) + (x2 - x1) * (y0 - y2)
+        if abs(d) < 1e-300:
+            continue
+        l0 = ((y1 - y2) * (gx - x2) + (x2 - x1) * (gy - y2)) / d
+        l1 = ((y2 - y0) * (gx - x2) + (x0 - x2) * (gy - y2)) / d
+        l2 = 1.0 - l0 - l1
+        inside = (l0 >= 0) & (l1 >= 0) & (l2 >= 0)
+        if not inside.any():
+            continue
+        z = l0 * zs[t, 0] + l1 * zs[t, 1] + l2 * zs[t, 2]
+        rr, cc = np.nonzero(inside)
+        rows = rr + cymin
+        colz = cc + cxmin
+        zsel = z[rr, cc]
+        closer = zsel > zbuf[rows, colz]
+        img[rows[closer], colz[closer]] = (
+            NODATA if cls[t] is None or (isinstance(cls[t], float) and np.isnan(cls[t]))
+            else int(cls[t]))
+        zbuf[rows[closer], colz[closer]] = zsel[closer]
+    return img
+
+
+def rasterize_face_labels(
+    faces: DataFrame, grid: TileGrid, emit_images: bool = False,
+) -> DataFrame:
+    """Labeled triangles → per-tile top-down class raster.
+
+    emit_images=False → long rows (tile_x, tile_y, class_id, pixel_count);
+    emit_images=True  → (tile_x, tile_y, data) uint8 tile images.
+    """
+    tiled = faces.withColumn("_t", F.explode(_tile_cover_cols(grid))) \
+                 .withColumn("tile_x", F.col("_t.tx")) \
+                 .withColumn("tile_y", F.col("_t.ty")).drop("_t")
+
+    if emit_images:
+        def agg_img(key, pdf: pd.DataFrame) -> pd.DataFrame:
+            img = _rasterize_tile(pdf, grid, int(key[0]), int(key[1]))
+            return pd.DataFrame({
+                "tile_x": [key[0]], "tile_y": [key[1]],
+                "data": [img.tobytes()]})
+        return tiled.groupBy("tile_x", "tile_y").applyInPandas(
+            agg_img, schema=TILE_IMAGE_SCHEMA)
+
+    def agg_counts(key, pdf: pd.DataFrame) -> pd.DataFrame:
+        img = _rasterize_tile(pdf, grid, int(key[0]), int(key[1]))
+        vals, counts = np.unique(img[img != NODATA], return_counts=True)
+        return pd.DataFrame({
+            "tile_x": np.full(len(vals), key[0], dtype=np.int64),
+            "tile_y": np.full(len(vals), key[1], dtype=np.int64),
+            "class_id": vals.astype(np.int32),
+            "pixel_count": counts.astype(np.int64)})
+    return tiled.groupBy("tile_x", "tile_y").applyInPandas(
+        agg_counts, schema=RASTERIZE_SCHEMA)
+
+
+# ---------------------------------------------------------------------------
+# Weighted assembly of overlapping prediction windows (A10)
+# ---------------------------------------------------------------------------
+
+PIECE_SCHEMA = T.StructType([
+    T.StructField("tile_x", T.LongType()),
+    T.StructField("tile_y", T.LongType()),
+    T.StructField("px0", T.IntegerType()),   # piece origin inside tile
+    T.StructField("py0", T.IntegerType()),
+    T.StructField("pw", T.IntegerType()),
+    T.StructField("ph", T.IntegerType()),
+    T.StructField("classes", T.BinaryType()),   # uint8 piece
+    T.StructField("weights", T.BinaryType()),   # float32 piece
+])
+
+
+def assemble_tiled_predictions(
+    windows: DataFrame, grid: TileGrid, n_classes: int,
+    ramp_frac: float = 0.25, emit_images: bool = False,
+) -> DataFrame:
+    """Overlapping prediction windows → per-pixel weighted-argmax raster.
+
+    windows: (win_gx, win_gy, w, h, classes:binary uint8) — window origin in
+    GLOBAL pixel coords on ``grid``. Each window is ramp-weighted, split
+    into output-tile-aligned pieces (≤4 for window ≤ tile), shuffled once
+    by tile, and reduced with dense accumulate + argmax.
+    """
+    tp = grid.tile_px
+
+    def split(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {k: [] for k in ("tile_x", "tile_y", "px0", "py0", "pw", "ph",
+                                   "classes", "weights")}
+            for _, row in pdf.iterrows():
+                w, h = int(row["w"]), int(row["h"])
+                gx0, gy0 = int(row["win_gx"]), int(row["win_gy"])
+                cls = np.frombuffer(row["classes"], dtype=np.uint8).reshape(h, w)
+                wgt = ramp_weights(h, w, ramp_frac).astype(np.float32)
+                tx0, tx1 = gx0 // tp, (gx0 + w - 1) // tp
+                ty0, ty1 = gy0 // tp, (gy0 + h - 1) // tp
+                for ty in range(ty0, ty1 + 1):
+                    for tx in range(tx0, tx1 + 1):
+                        ax0 = max(gx0, tx * tp); ax1 = min(gx0 + w, (tx + 1) * tp)
+                        ay0 = max(gy0, ty * tp); ay1 = min(gy0 + h, (ty + 1) * tp)
+                        if ax0 >= ax1 or ay0 >= ay1:
+                            continue
+                        sub_c = cls[ay0 - gy0:ay1 - gy0, ax0 - gx0:ax1 - gx0]
+                        sub_w = wgt[ay0 - gy0:ay1 - gy0, ax0 - gx0:ax1 - gx0]
+                        out["tile_x"].append(tx); out["tile_y"].append(ty)
+                        out["px0"].append(ax0 - tx * tp)
+                        out["py0"].append(ay0 - ty * tp)
+                        out["pw"].append(ax1 - ax0); out["ph"].append(ay1 - ay0)
+                        out["classes"].append(sub_c.tobytes())
+                        out["weights"].append(sub_w.tobytes())
+            yield pd.DataFrame(out)
+
+    pieces = windows.mapInPandas(split, schema=PIECE_SCHEMA)
+
+    def reduce_tile(key, pdf: pd.DataFrame) -> pd.DataFrame:
+        acc = np.zeros((tp, tp, n_classes), dtype=np.float64)
+        for _, row in pdf.iterrows():
+            ph, pw = int(row["ph"]), int(row["pw"])
+            cls = np.frombuffer(row["classes"], dtype=np.uint8).reshape(ph, pw)
+            wgt = np.frombuffer(row["weights"], dtype=np.float32).reshape(ph, pw)
+            y0, x0 = int(row["py0"]), int(row["px0"])
+            valid = cls < n_classes
+            np.add.at(
+                acc[y0:y0 + ph, x0:x0 + pw],
+                (np.nonzero(valid)[0], np.nonzero(valid)[1], cls[valid]),
+                wgt[valid])
+        total = acc.sum(axis=2)
+        arg = acc.argmax(axis=2).astype(np.uint8)
+        arg[total <= 0] = NODATA
+        if emit_images:
+            return pd.DataFrame({
+                "tile_x": [key[0]], "tile_y": [key[1]], "data": [arg.tobytes()]})
+        vals, counts = np.unique(arg[arg != NODATA], return_counts=True)
+        return pd.DataFrame({
+            "tile_x": np.full(len(vals), key[0], dtype=np.int64),
+            "tile_y": np.full(len(vals), key[1], dtype=np.int64),
+            "class_id": vals.astype(np.int32),
+            "pixel_count": counts.astype(np.int64)})
+
+    schema = TILE_IMAGE_SCHEMA if emit_images else RASTERIZE_SCHEMA
+    return pieces.groupBy("tile_x", "tile_y").applyInPandas(reduce_tile, schema=schema)
+
+
+# ---------------------------------------------------------------------------
+# Zonal stats (J6): per-polygon per-class pixel counts from class tiles
+# ---------------------------------------------------------------------------
+
+ZONAL_SCHEMA = T.StructType([
+    T.StructField("polygon_id", T.LongType()),
+    T.StructField("class_id", T.IntegerType()),
+    T.StructField("pixel_count", T.LongType()),
+])
+
+
+def zonal_stats(
+    polygons: DataFrame, class_tiles: DataFrame, grid: TileGrid,
+) -> DataFrame:
+    """polygons (polygon_id, geometry_wkb) × class_tiles (tile_x, tile_y,
+    data uint8) → (polygon_id, class_id, pixel_count): categorical pixel
+    counts of each class raster inside each polygon (pixel-center rule)."""
+    tp = grid.tile_px
+    cols = ["polygon_id", "geometry_wkb"]
+
+    def cover(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {"tile_x": [], "tile_y": [], "polygon_id": [], "geometry_wkb": []}
+            for _, row in pdf.iterrows():
+                polys = geom.wkb_to_rings(bytes(row["geometry_wkb"]))
+                xmin, ymin, xmax, ymax = geom.rings_bbox(polys)
+                tx0 = int(np.floor((xmin - grid.x0) / grid.tile_m))
+                tx1 = int(np.floor((xmax - grid.x0) / grid.tile_m))
+                ty0 = int(np.floor((grid.y0 - ymax) / grid.tile_m))
+                ty1 = int(np.floor((grid.y0 - ymin) / grid.tile_m))
+                for ty in range(ty0, ty1 + 1):
+                    for tx in range(tx0, tx1 + 1):
+                        out["tile_x"].append(tx); out["tile_y"].append(ty)
+                        out["polygon_id"].append(row["polygon_id"])
+                        out["geometry_wkb"].append(row["geometry_wkb"])
+            yield pd.DataFrame(out)
+
+    cover_schema = T.StructType([
+        T.StructField("tile_x", T.LongType()),
+        T.StructField("tile_y", T.LongType()),
+    ] + [f for f in polygons.schema.fields if f.name in cols])
+    pcover = polygons.select(*cols).mapInPandas(cover, schema=cover_schema)
+    joined = class_tiles.join(pcover, ["tile_x", "tile_y"])
+
+    def count(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {"polygon_id": [], "class_id": [], "pixel_count": []}
+            for _, row in pdf.iterrows():
+                img = np.frombuffer(bytes(row["data"]), dtype=np.uint8).reshape(tp, tp)
+                tx, ty = int(row["tile_x"]), int(row["tile_y"])
+                gx = tx * tp + np.arange(tp)
+                gy = ty * tp + np.arange(tp)
+                xs, ys = grid.pixel_center(gx, gy)
+                mx, my = np.meshgrid(xs, ys, indexing="xy")
+                inside = geom.points_in_wkb(
+                    mx.ravel(), my.ravel(), bytes(row["geometry_wkb"])
+                ).reshape(tp, tp)
+                sel = img[inside & (img != NODATA)]
+                vals, counts = np.unique(sel, return_counts=True)
+                for v, c in zip(vals, counts):
+                    out["polygon_id"].append(row["polygon_id"])
+                    out["class_id"].append(int(v))
+                    out["pixel_count"].append(int(c))
+            yield pd.DataFrame(out)
+
+    partial = joined.mapInPandas(count, schema=ZONAL_SCHEMA)
+    return partial.groupBy("polygon_id", "class_id").agg(
+        F.sum("pixel_count").alias("pixel_count"))

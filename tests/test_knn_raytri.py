@@ -1,0 +1,130 @@
+"""kNN join vs brute force; ray proximity edges vs O(N²) oracle;
+components; end-to-end multiview triangulation recovery."""
+
+import numpy as np
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from geograypher_spark.functions import camera as cam
+from geograypher_spark.operators import knn as KNN
+from geograypher_spark.operators import raytri as RT
+
+
+def test_knn_matches_bruteforce(spark):
+    rng = np.random.default_rng(3)
+    q = pd.DataFrame({"query_id": np.arange(200, dtype=np.int64),
+                      "x": rng.uniform(0, 100, 200), "y": rng.uniform(0, 100, 200)})
+    r = pd.DataFrame({"ref_id": np.arange(50, dtype=np.int64),
+                      "x": rng.uniform(0, 100, 50), "y": rng.uniform(0, 100, 50)})
+    got = KNN.knn_join(spark.createDataFrame(q), spark.createDataFrame(r), k=1).collect()
+    got_map = {row["query_id"]: row["ref_id"] for row in got}
+    assert len(got_map) == 200
+    qx = q[["x", "y"]].to_numpy()
+    rx = r[["x", "y"]].to_numpy()
+    d = np.linalg.norm(qx[:, None, :] - rx[None, :, :], axis=2)
+    expected = d.argmin(axis=1)
+    for qid in range(200):
+        assert got_map[qid] == expected[qid], f"query {qid}"
+
+
+def test_knn_k3_ranks(spark):
+    rng = np.random.default_rng(4)
+    q = pd.DataFrame({"query_id": np.arange(50, dtype=np.int64),
+                      "x": rng.uniform(0, 50, 50), "y": rng.uniform(0, 50, 50)})
+    r = pd.DataFrame({"ref_id": np.arange(30, dtype=np.int64),
+                      "x": rng.uniform(0, 50, 30), "y": rng.uniform(0, 50, 30)})
+    got = KNN.knn_join(spark.createDataFrame(q), spark.createDataFrame(r), k=3).collect()
+    by_q = {}
+    for row in got:
+        by_q.setdefault(row["query_id"], []).append((row["rank"], row["ref_id"], row["dist"]))
+    qx = q[["x", "y"]].to_numpy(); rx = r[["x", "y"]].to_numpy()
+    d = np.linalg.norm(qx[:, None, :] - rx[None, :, :], axis=2)
+    for qid, items in by_q.items():
+        items.sort()
+        assert len(items) == 3
+        expect = np.argsort(d[qid])[:3]
+        assert [ref for _, ref, _ in items] == expect.tolist()
+        # dists are non-decreasing by rank
+        dd = [x[2] for x in items]
+        assert dd == sorted(dd)
+
+
+def _rays_df(spark, starts, ends, camera_ids):
+    pdf = pd.DataFrame({
+        "ray_id": np.arange(len(starts), dtype=np.int64),
+        "camera_id": np.asarray(camera_ids, dtype=np.int64),
+        "sx": starts[:, 0], "sy": starts[:, 1], "sz": starts[:, 2],
+        "ex": ends[:, 0], "ey": ends[:, 1], "ez": ends[:, 2],
+    })
+    return spark.createDataFrame(pdf)
+
+
+def test_ray_edges_match_bruteforce(spark):
+    rng = np.random.default_rng(5)
+    n = 120
+    starts = rng.uniform(0, 30, (n, 3))
+    dirs = rng.normal(size=(n, 3))
+    dirs /= np.linalg.norm(dirs, axis=1, keepdims=True)
+    ends = starts + dirs * 5.0
+    cams = rng.integers(0, 6, n)
+    tau = 0.8
+    got = RT.ray_proximity_edges(_rays_df(spark, starts, ends, cams), tau=tau).collect()
+    got_set = {(r["src"], r["dst"]) for r in got}
+    # brute force
+    ii, jj = np.triu_indices(n, k=1)
+    _, _, d = cam.segment_pair_closest(starts[ii], ends[ii], starts[jj], ends[jj])
+    mask = (d <= tau) & (cams[ii] != cams[jj])
+    expected = {(int(a), int(b)) for a, b in zip(ii[mask], jj[mask])}
+    assert got_set == expected
+    # weights = 1/dist
+    dmap = {(int(a), int(b)): float(x) for a, b, x in zip(ii[mask], jj[mask], d[mask])}
+    for r in got:
+        assert r["weight"] == pytest.approx(1.0 / max(dmap[(r["src"], r["dst"])], 1e-8))
+
+
+def test_ray_edges_cross_camera_only(spark):
+    # two nearly identical rays in the SAME camera → no edge
+    starts = np.array([[0, 0, 0], [0.01, 0, 0], [5, 5, 5.0]])
+    ends = np.array([[0, 0, 5], [0.01, 0, 5], [5, 5, 10.0]])
+    df = _rays_df(spark, starts, ends, [1, 1, 2])
+    assert RT.ray_proximity_edges(df, tau=0.5).count() == 0
+    # allow same camera → the close pair appears
+    got = RT.ray_proximity_edges(df, tau=0.5, cross_camera_only=False).collect()
+    assert {(r["src"], r["dst"]) for r in got} == {(0, 1)}
+
+
+def test_connected_components(spark):
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (10, 11), (20, 21), (21, 22), (22, 20)],
+        "src long, dst long")
+    got = {r["node"]: r["component"]
+           for r in RT.connected_components(edges).collect()}
+    assert got == {1: 1, 2: 1, 3: 1, 10: 10, 11: 10, 20: 20, 21: 20, 22: 20}
+
+
+def test_triangulation_recovers_point(spark, scene):
+    """Rays cast from every camera through the projection of a known 3D
+    point must triangulate back to that point (multiview_detections e2e)."""
+    target = np.array([[5.0, 5.0, 0.5]])
+    rows = []
+    for c in scene.cameras:
+        c2w = np.asarray(c["cam_to_world"]).reshape(4, 4)
+        px, py, z = cam.project_points(target, c2w, c["f"], c["cx"], c["cy"], c["w"], c["h"])
+        if not cam.in_image_mask(px, py, z, c["w"], c["h"])[0]:
+            continue
+        s, e = cam.cast_rays(px, py, c2w, c["f"], c["cx"], c["cy"], c["w"], c["h"], length=20.0)
+        rows.append((c["camera_id"], s[0], e[0]))
+    assert len(rows) >= 4
+    starts = np.array([r[1] for r in rows])
+    ends = np.array([r[2] for r in rows])
+    cams = [r[0] for r in rows]
+    rays = _rays_df(spark, starts, ends, cams)
+    edges = RT.ray_proximity_edges(rays, tau=0.05)
+    comp = RT.connected_components(edges)
+    assert comp.select("component").distinct().count() == 1
+    pts = RT.triangulate_components(rays, comp).collect()
+    assert len(pts) == 1
+    p = pts[0]
+    np.testing.assert_allclose([p["px"], p["py"], p["pz"]], target[0], atol=1e-6)
+    assert p["n_rays"] == len(rows)
