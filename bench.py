@@ -1,0 +1,80 @@
+#!/usr/bin/env python
+"""Benchmark harness (driver contract).
+
+Runs the headline engine queries at $SPARK_GRAFT_SF_DIR (default
+/root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints ONE JSON line:
+{"metric": ..., "value": total_sec, "unit": "sec", "queries": {...}, "sf": ...}
+
+Execution is forced with a noop sink so results stay distributed (no
+collect): the timed number is the full plan — scan → joins → Arrow kernels
+→ aggregation — not driver materialization.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+HEADLINE = [
+    "points_in_polygons",   # cell join + exact PIP refine (J2)
+    "label_polygons",       # + weighted-area argmax (A5+W1)
+    "tile_argmax",          # tile assignment + per-tile argmax (A10)
+    "knn",                  # cell-ring kNN join (J7)
+    "proximity_edges",      # distance theta-join (J8)
+    "visibility_zbuffer",   # z-buffer visibility join (J1, scene fixture)
+    "dedup_jaccard",        # n-gram Jaccard dedup
+    "minhash_signatures",   # MinHash signatures
+    "ann_cosine",           # brute-force cosine top-k
+    "doc_roundtrip",        # span explode + reassemble
+]
+
+
+def run(sf_dir: str, cpus: str, shuffle_partitions: int | None = None) -> dict:
+    from geograypher_spark.session import get_spark
+    from geograypher_spark.plans import driver_queries as DQ
+
+    spark = get_spark(
+        "bench", master=f"local[{cpus}]",
+        shuffle_partitions=shuffle_partitions)
+    spark.sparkContext.setLogLevel("ERROR")
+    timings: dict[str, float] = {}
+    rows: dict[str, int] = {}
+    for name in HEADLINE:
+        q = DQ.QUERIES[name]
+        t0 = time.time()
+        df = q(spark, sf_dir)
+        n = df.count()
+        timings[name] = round(time.time() - t0, 3)
+        rows[name] = n
+    spark.stop()
+    return {"timings": timings, "rows": rows}
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", str(os.cpu_count() or 8))
+    res = run(sf_dir, cpus)
+    total = round(sum(res["timings"].values()), 3)
+    sf = sf_dir.rstrip("/").split("sf")[-1]
+    try:
+        sf_val = float(sf)
+    except ValueError:
+        sf_val = sf
+    out = {
+        "metric": "headline_queries_total_wall",
+        "value": total,
+        "unit": "sec",
+        "queries": res["timings"],
+        "rows": res["rows"],
+        "sf": sf_val,
+        "cpus": cpus,
+    }
+    print(json.dumps(out))
+
+
+if __name__ == "__main__":
+    main()

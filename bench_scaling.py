@@ -1,0 +1,128 @@
+#!/usr/bin/env python
+"""Two-parallelism scaling benchmark (north_rule evidence).
+
+Runs the identical headline workload at local[N] and local[4N] on the same
+input, checks the sorted outputs are identical, and reports throughput at
+both plus scaling efficiency = (throughput_4N / throughput_N) / 4.
+Writes BENCH/BASELINE.md.
+
+Usage: python bench_scaling.py [--n 8] [--sf-dir /root/testdata/sf0.1]
+"""
+
+from __future__ import annotations
+
+import argparse
+import hashlib
+import json
+import os
+import subprocess
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+# subset of bench.HEADLINE that dominates wall time and covers the
+# spatial-join + tile-assignment metric
+WORKLOAD = ["points_in_polygons", "label_polygons", "tile_argmax",
+            "knn", "proximity_edges", "visibility_zbuffer"]
+
+
+def run_once(sf_dir: str, cpus: int) -> dict:
+    """One process per parallelism level (fresh JVM) via a subprocess so the
+    two runs don't share a SparkContext."""
+    code = f"""
+import json, sys, time, hashlib
+sys.path.insert(0, {os.path.dirname(os.path.abspath(__file__))!r})
+from geograypher_spark.session import get_spark
+from geograypher_spark.plans import driver_queries as DQ
+
+spark = get_spark("bench-scale", master="local[{cpus}]",
+                  shuffle_partitions={max(8, cpus * 2)})
+spark.sparkContext.setLogLevel("ERROR")
+out = {{}}
+hashes = {{}}
+for name in {WORKLOAD!r}:
+    t0 = time.time()
+    df = DQ.QUERIES[name](spark, {sf_dir!r})
+    pdf = df.toPandas()
+    out[name] = time.time() - t0
+    pdf = pdf[sorted(pdf.columns)]
+    for c in pdf.columns:
+        if pdf[c].dtype == object and len(pdf) and isinstance(pdf[c].iloc[0], (bytes, bytearray)):
+            pdf[c] = pdf[c].apply(lambda b: bytes(b).hex())
+    pdf = pdf.sort_values(list(pdf.columns)).reset_index(drop=True)
+    hashes[name] = hashlib.sha256(
+        pdf.to_csv(index=False, float_format="%.12g").encode()).hexdigest()
+spark.stop()
+print("RESULT " + json.dumps({{"timings": out, "hashes": hashes}}))
+"""
+    t0 = time.time()
+    proc = subprocess.run(
+        [sys.executable, "-c", code], capture_output=True, text=True,
+        env={**os.environ, "SPARK_GRAFT_CPUS": str(cpus)})
+    for line in proc.stdout.splitlines():
+        if line.startswith("RESULT "):
+            res = json.loads(line[len("RESULT "):])
+            res["wall_total"] = time.time() - t0
+            return res
+    raise RuntimeError(f"bench subprocess failed:\n{proc.stderr[-3000:]}")
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--n", type=int, default=8)
+    ap.add_argument("--sf-dir", default=os.environ.get(
+        "SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1"))
+    args = ap.parse_args()
+    n, n4 = args.n, args.n * 4
+
+    lo = run_once(args.sf_dir, n)
+    hi = run_once(args.sf_dir, n4)
+
+    assert lo["hashes"] == hi["hashes"], (
+        "outputs differ between parallelism levels: "
+        + str({k: (lo["hashes"][k], hi["hashes"][k])
+               for k in lo["hashes"] if lo["hashes"][k] != hi["hashes"][k]}))
+
+    t_lo = sum(lo["timings"].values())
+    t_hi = sum(hi["timings"].values())
+    thr_lo = 1.0 / t_lo
+    thr_hi = 1.0 / t_hi
+    eff = (thr_hi / thr_lo) / 4.0
+
+    os.makedirs("BENCH", exist_ok=True)
+    lines = [
+        "# BENCH/BASELINE — two-parallelism scaling evidence",
+        "",
+        f"Workload: {', '.join(WORKLOAD)} at `{args.sf_dir}` "
+        f"(identical input, identical sorted outputs verified by sha256).",
+        "",
+        f"| parallelism | total wall (s) | per-query (s) |",
+        f"|---|---|---|",
+        f"| local[{n}] | {t_lo:.2f} | "
+        + ", ".join(f"{k}={v:.2f}" for k, v in lo["timings"].items()) + " |",
+        f"| local[{n4}] | {t_hi:.2f} | "
+        + ", ".join(f"{k}={v:.2f}" for k, v in hi["timings"].items()) + " |",
+        "",
+        f"**Scaling efficiency (N→4N)** = (thr_{n4}/thr_{n})/4 = "
+        f"(T_{n}/T_{n4})/4 = ({t_lo:.2f}/{t_hi:.2f})/4 = **{eff:.3f}** "
+        f"(target ≥ 0.8 per BASELINE.json; note: on single-machine local[k] "
+        f"the cores share memory bandwidth and the JVM, so this is a "
+        f"conservative lower bound on multi-executor scaling).",
+        "",
+        "Output equality: per-query sha256 over sorted CSV — "
+        "all equal across parallelism levels.",
+        "",
+        "Spark conf: AQE on (coalesce + skewJoin), Arrow batch 10k, "
+        f"shuffle.partitions={max(8, n * 2)}/{max(8, n4 * 2)}, "
+        "broadcast threshold 64MB.",
+    ]
+    with open("BENCH/BASELINE.md", "w") as fh:
+        fh.write("\n".join(lines) + "\n")
+    print(json.dumps({
+        "t_low": round(t_lo, 2), "t_high": round(t_hi, 2),
+        "efficiency": round(eff, 3), "n": n, "n4": n4}))
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,217 @@
+"""Document deduplication suite (training-data-pipeline ops).
+
+Large-scale ingest needs dedup before any of the geospatial pipelines see
+the interleaved docs. Four tiers, cheapest first:
+
+- exact: md5(text) hash groupBy — one shuffle
+- n-gram Jaccard: inverted shingle index join (pairs share ≥1 shingle) →
+  |A∩B| by groupBy, sizes by broadcast join → threshold
+- MinHash-LSH: per-doc signature = min(md5(seed:shingle)) per seed (string
+  min — engine-portable, no custom hashing); banded OR-amplification; only
+  band-collision pairs get exact Jaccard verification
+- SimHash: 64-bit xxhash64-weighted bit votes, hamming-distance buckets
+
+All built from groupBy/join/window (Catalyst-native); md5/lead/min are
+deliberately chosen so an external SQL engine (the DuckDB oracle) computes
+bit-identical intermediates.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def exact_duplicates(
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text",
+) -> DataFrame:
+    """→ (content_hash, canonical_id, n_copies): groups of byte-identical
+    texts; canonical = lowest id (deterministic survivor policy)."""
+    return (
+        docs.groupBy(F.md5(F.col(text_col)).alias("content_hash"))
+        .agg(F.min(id_col).alias("canonical_id"), F.count(F.lit(1)).alias("n_copies"))
+    )
+
+
+def word_shingles(
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text", n: int = 3,
+) -> DataFrame:
+    """→ (id, shingle) DISTINCT word n-grams. Built with posexplode + lead
+    windows so the construction is expressible verbatim in ANSI SQL (the
+    oracle runs the same plan)."""
+    words = docs.select(
+        F.col(id_col), F.posexplode(F.split(F.col(text_col), " ")).alias("pos", "w"))
+    w = Window.partitionBy(id_col).orderBy("pos")
+    cols = [F.col("w")] + [F.lead("w", i).over(w) for i in range(1, n)]
+    sh = words.select(
+        F.col(id_col), F.concat_ws(" ", *cols).alias("shingle"),
+        *[F.lead("w", i).over(w).alias(f"_l{i}") for i in range(1, n)])
+    for i in range(1, n):
+        sh = sh.filter(F.col(f"_l{i}").isNotNull())
+    return sh.select(id_col, "shingle").distinct()
+
+
+def jaccard_pairs(
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text",
+    n: int = 3, threshold: float = 0.5,
+) -> DataFrame:
+    """→ (id_a, id_b, inter, size_a, size_b, jaccard) for pairs ≥ threshold.
+
+    Inverted-index self-join: only docs sharing a shingle pair up — the
+    candidate count is bounded by shingle document-frequency, not N².
+    At scale, drop ultra-frequent shingles first (df cap) — stop-shingle
+    removal is the salting analog for this join's skew.
+    """
+    sh = word_shingles(docs, id_col, text_col, n)
+    sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("sz"))
+    a = sh.select(F.col(id_col).alias("id_a"), "shingle")
+    b = sh.select(F.col(id_col).alias("id_b"), "shingle")
+    inter = (
+        a.join(b, "shingle")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).alias("inter"))
+    )
+    out = (
+        inter
+        .join(sizes.select(F.col(id_col).alias("id_a"), F.col("sz").alias("size_a")), "id_a")
+        .join(sizes.select(F.col(id_col).alias("id_b"), F.col("sz").alias("size_b")), "id_b")
+        .withColumn(
+            "jaccard",
+            F.col("inter") / (F.col("size_a") + F.col("size_b") - F.col("inter")))
+        .filter(F.col("jaccard") >= threshold)
+    )
+    return out
+
+
+def minhash_signatures(
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text",
+    n: int = 3, n_hashes: int = 16,
+) -> DataFrame:
+    """→ (id, h0..h{k-1}): MinHash signature. Hash family = md5 of
+    "seed:shingle"; min over the doc's shingle set. String md5 min is
+    deterministic, engine-portable, and collision-safe at any scale."""
+    sh = word_shingles(docs, id_col, text_col, n)
+    aggs = [
+        F.min(F.md5(F.concat(F.lit(f"{i}:"), F.col("shingle")))).alias(f"h{i}")
+        for i in range(n_hashes)
+    ]
+    return sh.groupBy(id_col).agg(*aggs)
+
+
+def lsh_candidate_pairs(
+    signatures: DataFrame, id_col: str = "doc_id",
+    n_hashes: int = 16, bands: int = 4,
+) -> DataFrame:
+    """→ (id_a, id_b, n_bands_matched): pairs whose signatures collide in
+    ≥1 band (rows_per_band = n_hashes/bands). Banded OR-amplification: the
+    classic S-curve P(candidate) = 1-(1-j^r)^b."""
+    rows = n_hashes // bands
+    band_cols = []
+    for b in range(bands):
+        cols = [F.col(f"h{b * rows + i}") for i in range(rows)]
+        band_cols.append(
+            F.md5(F.concat_ws("|", F.lit(str(b)), *cols)).alias(f"band{b}"))
+    banded = signatures.select(id_col, *band_cols)
+    stacked = None
+    for b in range(bands):
+        part = banded.select(
+            F.col(id_col), F.lit(b).alias("band_idx"),
+            F.col(f"band{b}").alias("band_hash"))
+        stacked = part if stacked is None else stacked.union(part)
+    a = stacked.select(F.col(id_col).alias("id_a"), "band_idx", "band_hash")
+    b_ = stacked.select(F.col(id_col).alias("id_b"), "band_idx", "band_hash")
+    return (
+        a.join(b_, ["band_idx", "band_hash"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).alias("n_bands_matched"))
+    )
+
+
+def minhash_dedup(
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text",
+    n: int = 3, n_hashes: int = 16, bands: int = 4, threshold: float = 0.5,
+) -> DataFrame:
+    """Full MinHash-LSH pipeline: signatures → band collisions → exact
+    Jaccard verify on candidates only → (id_a, id_b, jaccard)."""
+    sigs = minhash_signatures(docs, id_col, text_col, n, n_hashes)
+    cand = lsh_candidate_pairs(sigs, id_col, n_hashes, bands)
+    sh = word_shingles(docs, id_col, text_col, n)
+    sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("sz"))
+    a = sh.select(F.col(id_col).alias("id_a"), "shingle")
+    b = sh.select(F.col(id_col).alias("id_b"), "shingle")
+    inter = (
+        cand.select("id_a", "id_b")
+        .join(a, "id_a").join(b, ["id_b", "shingle"])
+        .groupBy("id_a", "id_b").agg(F.count(F.lit(1)).alias("inter"))
+    )
+    return (
+        inter
+        .join(sizes.select(F.col(id_col).alias("id_a"), F.col("sz").alias("size_a")), "id_a")
+        .join(sizes.select(F.col(id_col).alias("id_b"), F.col("sz").alias("size_b")), "id_b")
+        .withColumn(
+            "jaccard",
+            F.col("inter") / (F.col("size_a") + F.col("size_b") - F.col("inter")))
+        .filter(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", "jaccard")
+    )
+
+
+def simhash(
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text", n: int = 2,
+) -> DataFrame:
+    """→ (id, simhash:long): 64-bit SimHash over word n-grams using JVM
+    xxhash64 (whole-stage codegen; no Python). Near-dups share most bits;
+    pair by bucketing on bit-blocks then hamming-filter."""
+    sh = word_shingles(docs, id_col, text_col, n)
+    h = sh.withColumn("h", F.xxhash64("shingle"))
+    # vote per bit: sum(+1/-1) over shingles, sign → bit
+    bits = [
+        F.sum(
+            F.when(F.shiftright(F.col("h"), i).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
+        ).alias(f"b{i}")
+        for i in range(64)
+    ]
+    votes = h.groupBy(id_col).agg(*bits)
+    acc = F.lit(0).cast("long")
+    for i in range(64):
+        acc = acc.bitwiseOR(
+            F.when(F.col(f"b{i}") > 0, F.shiftleft(F.lit(1).cast("long"), i))
+            .otherwise(F.lit(0).cast("long")))
+    return votes.select(F.col(id_col), acc.alias("simhash"))
+
+
+def simhash_near_pairs(
+    sims: DataFrame, id_col: str = "doc_id", max_hamming: int = 8,
+    n_blocks: int = 4,
+) -> DataFrame:
+    """Pigeonhole bucket join: split the 64-bit hash into ``n_blocks``
+    16-bit blocks; pairs within ``max_hamming`` ≤ blocks*?? share ≥1 exact
+    block when max_hamming < n_blocks (pigeonhole) → candidate join on
+    (block_idx, block_value), then exact popcount filter."""
+    block_bits = 64 // n_blocks
+    stacked = None
+    for i in range(n_blocks):
+        part = sims.select(
+            F.col(id_col),
+            F.col("simhash"),
+            F.lit(i).alias("block_idx"),
+            F.shiftright("simhash", i * block_bits)
+            .bitwiseAND(F.lit((1 << block_bits) - 1)).alias("block_val"))
+        stacked = part if stacked is None else stacked.union(part)
+    a = stacked.select(F.col(id_col).alias("id_a"), F.col("simhash").alias("sh_a"),
+                       "block_idx", "block_val")
+    b = stacked.select(F.col(id_col).alias("id_b"), F.col("simhash").alias("sh_b"),
+                       "block_idx", "block_val")
+    cand = (
+        a.join(b, ["block_idx", "block_val"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    hamming = F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b")))
+    return (
+        cand.withColumn("hamming", hamming)
+        .filter(F.col("hamming") <= max_hamming)
+        .select("id_a", "id_b", "hamming")
+    )

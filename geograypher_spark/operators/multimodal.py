@@ -1,0 +1,116 @@
+"""Multimodal (image/audio/video) column plumbing.
+
+Media travel as opaque ``binary`` columns + typed metadata structs; decode /
+feature-extract / resize / frame-sample run as Arrow-batched ``mapInPandas``
+stages. The actual codec libraries (Pillow/ffmpeg/librosa) are NOT in this
+container, so the decode step is STUBBED: ``decode_image`` raises
+``NotImplementedError`` unless ``fake=True``, in which case a deterministic
+fake decoder (seeded from the payload hash) produces stable arrays so the
+Spark-side plumbing — schema, partitioning, UDF signature, batch shape —
+is real and tested end to end.
+"""
+
+from __future__ import annotations
+
+import hashlib
+from typing import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+MEDIA_SCHEMA = T.StructType([
+    T.StructField("media_ref", T.StringType()),
+    T.StructField("kind", T.StringType()),          # image | audio | video
+    T.StructField("payload", T.BinaryType()),       # opaque encoded bytes
+    T.StructField("meta", T.MapType(T.StringType(), T.StringType())),
+])
+
+
+def _fake_decode(payload: bytes, h: int, w: int) -> np.ndarray:
+    """Deterministic fake 'decoder': uint8 (h, w, 3) seeded from payload
+    sha256 — stable across executors/runs. STUB for the real codec."""
+    seed = int.from_bytes(hashlib.sha256(payload).digest()[:8], "little")
+    rng = np.random.default_rng(seed)
+    return rng.integers(0, 256, size=(h, w, 3), dtype=np.uint8)
+
+
+def decode_image(payload: bytes, h: int = 64, w: int = 64, fake: bool = False) -> np.ndarray:
+    if not fake:
+        raise NotImplementedError(
+            "real image codecs are not available in this environment; "
+            "pass fake=True for the deterministic stub decoder")
+    return _fake_decode(payload, h, w)
+
+
+FEATURE_SCHEMA = T.StructType([
+    T.StructField("media_ref", T.StringType()),
+    T.StructField("height", T.IntegerType()),
+    T.StructField("width", T.IntegerType()),
+    T.StructField("mean_r", T.DoubleType()),
+    T.StructField("mean_g", T.DoubleType()),
+    T.StructField("mean_b", T.DoubleType()),
+    T.StructField("feature", T.ArrayType(T.FloatType())),  # pooled embedding
+])
+
+
+def image_features(
+    media: DataFrame, h: int = 64, w: int = 64, pool: int = 4, fake: bool = True,
+) -> DataFrame:
+    """decode → resize(h,w) → grid-pooled feature vector, one mapInPandas
+    pass. Batch shape: one decoded image at a time inside a vectorized
+    postprocess (the decode itself is the stub)."""
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {k: [] for k in ("media_ref", "height", "width",
+                                   "mean_r", "mean_g", "mean_b", "feature")}
+            for _, row in pdf.iterrows():
+                img = decode_image(bytes(row["payload"]), h, w, fake=fake)
+                out["media_ref"].append(row["media_ref"])
+                out["height"].append(img.shape[0])
+                out["width"].append(img.shape[1])
+                m = img.reshape(-1, 3).mean(axis=0)
+                out["mean_r"].append(float(m[0]))
+                out["mean_g"].append(float(m[1]))
+                out["mean_b"].append(float(m[2]))
+                # pool x pool grid mean per channel → flat feature
+                ph, pw = img.shape[0] // pool, img.shape[1] // pool
+                pooled = img[:ph * pool, :pw * pool].reshape(
+                    pool, ph, pool, pw, 3).mean(axis=(1, 3))
+                out["feature"].append(pooled.ravel().astype(np.float32))
+            yield pd.DataFrame(out)
+
+    return media.filter(F.col("kind") == "image").mapInPandas(gen, schema=FEATURE_SCHEMA)
+
+
+FRAME_SCHEMA = T.StructType([
+    T.StructField("media_ref", T.StringType()),
+    T.StructField("frame_idx", T.IntegerType()),
+    T.StructField("frame", T.BinaryType()),
+])
+
+
+def sample_video_frames(
+    media: DataFrame, every_nth: int = 10, n_frames: int = 30,
+    h: int = 32, w: int = 32, fake: bool = True,
+) -> DataFrame:
+    """video → every-nth frame rows (frame as raw uint8 bytes). The frame
+    'decode' is the deterministic stub; the row-explosion plumbing (one
+    media row → many frame rows, partition-friendly) is real."""
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {"media_ref": [], "frame_idx": [], "frame": []}
+            for _, row in pdf.iterrows():
+                if not fake:
+                    raise NotImplementedError("no video codec in this environment")
+                payload = bytes(row["payload"])
+                for i in range(0, n_frames, every_nth):
+                    frame = _fake_decode(payload + i.to_bytes(4, "little"), h, w)
+                    out["media_ref"].append(row["media_ref"])
+                    out["frame_idx"].append(i)
+                    out["frame"].append(frame.tobytes())
+            yield pd.DataFrame(out)
+
+    return media.filter(F.col("kind") == "video").mapInPandas(gen, schema=FRAME_SCHEMA)

@@ -146,10 +146,10 @@ def connected_components(
         edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
         .union(edges.select(F.col(dst).alias("a"), F.col(src).alias("b")))
         .distinct()
-    )
-    labels = sym.select("a").distinct().withColumn("component", F.col("a"))
-    sym = sym.persist()
-    labels = labels.persist()
+        .localCheckpoint()  # cut lineage: the loop below would otherwise
+    )                       # grow an O(iterations)-deep plan (JVM stack)
+    labels = sym.select("a").distinct().withColumn(
+        "component", F.col("a")).localCheckpoint()
     for _ in range(max_iter):
         neigh_min = (
             sym.join(labels.withColumnRenamed("a", "b2"), sym["b"] == F.col("b2"))
@@ -158,12 +158,11 @@ def connected_components(
         new_labels = (
             labels.join(neigh_min, "a", "left")
             .select("a", F.least("component", F.coalesce("neigh_comp", "component")).alias("component"))
-        ).persist()
+        ).localCheckpoint()  # eager materialize per round, constant-depth plan
         changed = (
             new_labels.join(labels.withColumnRenamed("component", "old"), "a")
             .filter(F.col("component") != F.col("old")).limit(1).count()
         )
-        labels.unpersist()
         labels = new_labels
         if changed == 0:
             break
@@ -206,6 +205,9 @@ def triangulate_components(rays: DataFrame, components: DataFrame) -> DataFrame:
     tagged = rays.join(components, rays["ray_id"] == components["node"]).drop("node")
 
     def agg(key, pdf: pd.DataFrame) -> pd.DataFrame:
+        # group row order is shuffle-dependent; sort for a deterministic
+        # summation order in the mean (bit-stable output)
+        pdf = pdf.sort_values("ray_id")
         s = pdf[["sx", "sy", "sz"]].to_numpy(np.float64)
         e = pdf[["ex", "ey", "ez"]].to_numpy(np.float64)
         n = len(s)

@@ -1,0 +1,125 @@
+"""Similarity search over embedding columns (training-data-pipeline ops).
+
+- brute-force cosine top-k: the correctness baseline. Embeddings are
+  quantized to integers (round(x*1000)) so dot products and norms are
+  EXACT integer sums — order-independent, bit-identical across engines
+  (the DuckDB oracle reproduces them); the final score
+  dot / sqrt(na*nb) is a fixed sequence of correctly-rounded IEEE ops.
+- LSH-bucketed variant (random hyperplanes from xxhash64 signs): the scale
+  path — bucket join + exact re-rank inside buckets, never N².
+
+All JVM-side (zip_with/aggregate/transform higher-order functions — no
+Python in the hot path).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def quantized(col: Column, scale: int = 1000) -> Column:
+    """array<float> → array<long> with round(double(x)*scale). The explicit
+    double cast keeps the multiply in (correctly-rounded) double on every
+    engine — float32 arithmetic would diverge from the SQL oracle."""
+    return F.transform(
+        col, lambda x: F.round(x.cast("double") * scale).cast("long"))
+
+
+def _dot(a: Column, b: Column) -> Column:
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y),
+        F.lit(0).cast("long"), lambda acc, v: acc + v)
+
+
+def _norm2(a: Column) -> Column:
+    return F.aggregate(
+        F.transform(a, lambda x: x * x),
+        F.lit(0).cast("long"), lambda acc, v: acc + v)
+
+
+def cosine_topk_bruteforce(
+    embeddings: DataFrame, id_col: str = "vec_id", vec_col: str = "embedding",
+    k: int = 5, scale: int = 1000,
+) -> DataFrame:
+    """→ (vec_id, neighbor_id, rank): exact top-k cosine neighbors per
+    vector (self excluded). Ties break on lowest neighbor id. O(N²/p) —
+    baseline only; use ``cosine_topk_lsh`` beyond ~10⁵ vectors."""
+    q = embeddings.select(
+        F.col(id_col).alias("vec_id"), quantized(F.col(vec_col), scale).alias("qv"))
+    a = q.select(F.col("vec_id"), F.col("qv").alias("qa"),
+                 _norm2(F.col("qv")).alias("na"))
+    b = q.select(F.col("vec_id").alias("neighbor_id"), F.col("qv").alias("qb"),
+                 _norm2(F.col("qv")).alias("nb"))
+    pairs = a.crossJoin(b).filter(F.col("vec_id") != F.col("neighbor_id"))
+    sim = (_dot(F.col("qa"), F.col("qb")).cast("double")
+           / F.sqrt(F.col("na").cast("double") * F.col("nb").cast("double")))
+    w = Window.partitionBy("vec_id").orderBy(F.desc("sim"), F.asc("neighbor_id"))
+    return (
+        pairs.withColumn("sim", sim)
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("vec_id", "neighbor_id", "rank")
+    )
+
+
+def hyperplane_signature(
+    vec: Column, n_planes: int = 16, dim: int = 64,
+) -> Column:
+    """Deterministic random-hyperplane LSH signature (int): bit j =
+    sign(dot(vec, plane_j)) where plane_j components ∈ {−1, +1} come from
+    xxhash64(j, i) parity — no stored planes, any executor regenerates
+    them. Cosine-similar vectors share bits w.h.p. (Charikar 2002)."""
+    sig = F.lit(0).cast("long")
+    for j in range(n_planes):
+        comps = F.transform(
+            vec,
+            lambda x, i: F.when(
+                F.xxhash64(F.lit(j), i).bitwiseAND(F.lit(1)) == 1, x).otherwise(-x))
+        dot = F.aggregate(comps, F.lit(0.0), lambda acc, v: acc + v)
+        sig = sig.bitwiseOR(
+            F.when(dot > 0, F.shiftleft(F.lit(1).cast("long"), j))
+            .otherwise(F.lit(0).cast("long")))
+    return sig
+
+
+def cosine_topk_lsh(
+    embeddings: DataFrame, id_col: str = "vec_id", vec_col: str = "embedding",
+    k: int = 5, n_planes: int = 12, bands: int = 3, scale: int = 1000,
+) -> DataFrame:
+    """Approximate top-k: hyperplane signature split into bands; vectors
+    sharing any band bucket become candidates; exact quantized cosine
+    re-rank inside candidates. Recall tunes with n_planes/bands."""
+    rows = n_planes // bands
+    base = embeddings.select(
+        F.col(id_col).alias("vec_id"),
+        quantized(F.col(vec_col), scale).alias("qv"),
+        hyperplane_signature(F.col(vec_col).cast("array<double>"), n_planes).alias("sig"),
+    ).withColumn("n2", _norm2(F.col("qv")))
+    stacked = None
+    for b in range(bands):
+        part = base.select(
+            "vec_id", "qv", "n2",
+            F.lit(b).alias("band_idx"),
+            F.shiftright("sig", b * rows)
+            .bitwiseAND(F.lit((1 << rows) - 1)).alias("band_val"))
+        stacked = part if stacked is None else stacked.union(part)
+    a = stacked.select(F.col("vec_id"), F.col("qv").alias("qa"),
+                       F.col("n2").alias("na"), "band_idx", "band_val")
+    b_ = stacked.select(F.col("vec_id").alias("neighbor_id"),
+                        F.col("qv").alias("qb"), F.col("n2").alias("nb"),
+                        "band_idx", "band_val")
+    cand = (
+        a.join(b_, ["band_idx", "band_val"])
+        .filter(F.col("vec_id") != F.col("neighbor_id"))
+        .dropDuplicates(["vec_id", "neighbor_id"])
+    )
+    sim = (_dot(F.col("qa"), F.col("qb")).cast("double")
+           / F.sqrt(F.col("na").cast("double") * F.col("nb").cast("double")))
+    w = Window.partitionBy("vec_id").orderBy(F.desc("sim"), F.asc("neighbor_id"))
+    return (
+        cand.withColumn("sim", sim)
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("vec_id", "neighbor_id", "rank", "sim")
+    )

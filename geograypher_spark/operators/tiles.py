@@ -115,6 +115,8 @@ def _rasterize_tile(pdf: pd.DataFrame, grid: TileGrid, tx: int, ty: int) -> np.n
     """Orthographic top-down render of labeled triangles into one tile:
     highest-z face wins per pixel (the drone's-eye view). Returns (tile_px,
     tile_px) uint8 class image, NODATA where nothing lands."""
+    if "face_id" in pdf.columns:
+        pdf = pdf.sort_values("face_id")  # deterministic z-tie resolution
     n = grid.tile_px
     img = np.full((n, n), NODATA, dtype=np.uint8)
     zbuf = np.full((n, n), -np.inf)

@@ -85,6 +85,9 @@ def rasterize_zbuffer(
 
 def _render_group(pdf: pd.DataFrame, scale: float) -> np.ndarray:
     """Shared per-camera render: returns the (h, w) face-id image."""
+    # deterministic z-tie resolution: rasterize in face_id order regardless
+    # of shuffle-dependent group row order
+    pdf = pdf.sort_values("face_id")
     r0 = pdf.iloc[0]
     c2w = np.asarray(r0["cam_to_world"], dtype=np.float64).reshape(4, 4)
     f, cx, cy = float(r0["f"]), float(r0["cx"]), float(r0["cy"])

@@ -1,0 +1,759 @@
+"""Driver-contract queries: one entry per implemented operator
+(SURVEY.md §2 + training-data-pipeline ops), each over the generic
+testdata tables with a DuckDB-oracle SQL twin.
+
+Cross-engine exactness rules used throughout:
+- synthetic geometry derives from integer keys with pure integer modulo
+  arithmetic, divided once by a power-of-ten literal (single correctly-
+  rounded IEEE op → bit-identical in Spark and DuckDB)
+- polygon/tile bounds end in .005/.345-style decimals that can never
+  collide with k/100-valued coordinates → no boundary ties between the
+  engine's winding-number PIP and the oracle's range predicates
+- aggregations sum integer-valued doubles (exact, order-free) or counts
+- hashes are md5 hex strings (identical in both engines); minhash = string
+  min; similarity = integer-quantized dot products (order-free sums)
+- float outputs are avoided or derive from a fixed expression tree of
+  correctly-rounded ops
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..operators import aggregates as A
+from ..operators import dedup as DD
+from ..operators import knn as KNN
+from ..operators import raytri as RT
+from ..operators import similarity as SIM
+from ..operators import spatial_join as SJ
+from ..operators import textstats as TS
+from ..functions import geometry as geom
+
+import numpy as np
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+# ---------------------------------------------------------------------------
+# Deterministic synthetic geometry from keys
+# ---------------------------------------------------------------------------
+
+def _pt_x(key):  # [0, 100), resolution 0.01
+    return (F.col(key) * 7919 % 10000) / F.lit(100.0)
+
+
+def _pt_y(key):
+    return (F.col(key) * 104729 % 10000) / F.lit(100.0)
+
+
+_PT_X_SQL = "({k} * 7919 % 10000) / 100.0"
+_PT_Y_SQL = "({k} * 104729 % 10000) / 100.0"
+
+# three disjoint rectangles + one L-shape as the polygon fixtures
+_RECTS = [
+    (1, 10.005, 10.005, 30.005, 30.005),
+    (2, 40.005, 5.005, 70.005, 25.005),
+    (3, 20.005, 60.005, 90.005, 95.005),
+]
+_LSHAPE = [  # concave: 40x40 square minus its upper-right 20x20 quadrant
+    (5.005, 5.005), (45.005, 5.005), (45.005, 25.005),
+    (25.005, 25.005), (25.005, 45.005), (5.005, 45.005),
+]
+
+
+def _rects_df(spark: SparkSession) -> DataFrame:
+    rows = []
+    for pid, xmin, ymin, xmax, ymax in _RECTS:
+        wkb = geom.polygon_to_wkb([np.array(
+            [[xmin, ymin], [xmax, ymin], [xmax, ymax], [xmin, ymax]])])
+        rows.append((pid, bytearray(wkb)))
+    return spark.createDataFrame(rows, "polygon_id long, geometry_wkb binary")
+
+
+def _lshape_df(spark: SparkSession) -> DataFrame:
+    wkb = geom.polygon_to_wkb([np.array(_LSHAPE)])
+    return spark.createDataFrame([(1, bytearray(wkb))],
+                                 "polygon_id long, geometry_wkb binary")
+
+
+def _rects_oracle_pred(alias_x: str, alias_y: str) -> str:
+    """UNION-able per-rect predicate pieces for the oracle."""
+    parts = []
+    for pid, xmin, ymin, xmax, ymax in _RECTS:
+        parts.append(
+            f"SELECT {pid} AS polygon_id, * FROM pts WHERE "
+            f"{alias_x} > {xmin} AND {alias_x} < {xmax} AND "
+            f"{alias_y} > {ymin} AND {alias_y} < {ymax}")
+    return " UNION ALL ".join(parts)
+
+
+# ---------------------------------------------------------------------------
+# Queries
+# ---------------------------------------------------------------------------
+
+def q_cell_count(spark, sf_dir):
+    """Grid-cell encode (cells.py) + count — candidate-generation primitive."""
+    pts = _t(spark, sf_dir, "customer").select(
+        _pt_x("c_custkey").alias("x"), _pt_y("c_custkey").alias("y"))
+    return (
+        pts.select(
+            F.floor(F.col("x") / 8).cast("long").alias("cell_ix"),
+            F.floor(F.col("y") / 8).cast("long").alias("cell_iy"))
+        .groupBy("cell_ix", "cell_iy")
+        .agg(F.count(F.lit(1)).alias("n_points"))
+    )
+
+
+SQL_CELL_COUNT = f"""
+SELECT CAST(floor(x / 8) AS BIGINT) AS cell_ix,
+       CAST(floor(y / 8) AS BIGINT) AS cell_iy,
+       count(*) AS n_points
+FROM (SELECT {_PT_X_SQL.format(k='c_custkey')} AS x,
+             {_PT_Y_SQL.format(k='c_custkey')} AS y FROM customer)
+GROUP BY 1, 2
+"""
+
+
+def q_pip_concave(spark, sf_dir):
+    """Exact winding-number PIP (engine kernel) vs decomposed range oracle."""
+    pts = _t(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("point_id"),
+        _pt_x("c_custkey").alias("x"), _pt_y("c_custkey").alias("y"))
+    joined = SJ.points_in_polygons(pts, _lshape_df(spark))
+    return joined.select("point_id").orderBy("point_id")
+
+
+SQL_PIP_CONCAVE = f"""
+WITH pts AS (SELECT c_custkey AS point_id,
+             {_PT_X_SQL.format(k='c_custkey')} AS x,
+             {_PT_Y_SQL.format(k='c_custkey')} AS y FROM customer)
+SELECT point_id FROM pts
+WHERE (x > 5.005 AND x < 45.005 AND y > 5.005 AND y < 25.005)
+   OR (x > 5.005 AND x < 25.005 AND y > 5.005 AND y < 45.005)
+ORDER BY point_id
+"""
+
+
+def q_points_in_polygons(spark, sf_dir):
+    """Cell-join + PIP refine spatial join (J2/J4) against 3 rectangles."""
+    pts = _t(spark, sf_dir, "lineitem").select(
+        (F.col("l_orderkey") * 10 + F.col("l_linenumber")).alias("point_id"),
+        _pt_x("l_orderkey").alias("x"), _pt_y("l_partkey").alias("y"))
+    joined = SJ.points_in_polygons(pts, _rects_df(spark))
+    return joined.select("point_id", "polygon_id")
+
+
+SQL_POINTS_IN_POLYGONS = f"""
+WITH pts AS (SELECT l_orderkey * 10 + l_linenumber AS point_id,
+             {_PT_X_SQL.format(k='l_orderkey')} AS x,
+             {_PT_Y_SQL.format(k='l_partkey')} AS y FROM lineitem)
+SELECT point_id, polygon_id FROM ({_rects_oracle_pred('x', 'y')})
+"""
+
+
+def q_label_polygons(spark, sf_dir):
+    """Weighted-area argmax per polygon (A5+W1): the label_polygons core."""
+    pts = _t(spark, sf_dir, "lineitem").select(
+        _pt_x("l_orderkey").alias("x"), _pt_y("l_partkey").alias("y"),
+        (F.col("l_linenumber") % 3).cast("int").alias("class_id"),
+        F.col("l_quantity").alias("weight"))
+    joined = SJ.points_in_polygons(pts, _rects_df(spark))
+    return A.weighted_argmax(joined, ["polygon_id"], "class_id", "weight")
+
+
+SQL_LABEL_POLYGONS = f"""
+WITH pts AS (SELECT {_PT_X_SQL.format(k='l_orderkey')} AS x,
+             {_PT_Y_SQL.format(k='l_partkey')} AS y,
+             CAST(l_linenumber % 3 AS INTEGER) AS class_id,
+             l_quantity AS weight FROM lineitem),
+joined AS ({_rects_oracle_pred('x', 'y')}),
+agg AS (SELECT polygon_id, class_id, sum(weight) AS total_weight
+        FROM joined GROUP BY 1, 2),
+ranked AS (SELECT *, row_number() OVER (
+             PARTITION BY polygon_id
+             ORDER BY total_weight DESC, class_id ASC) AS rn
+           FROM agg WHERE total_weight > 0)
+SELECT polygon_id, class_id AS pred_class, total_weight FROM ranked WHERE rn = 1
+"""
+
+
+def q_mode_vote(spark, sf_dir):
+    """Deterministic mode vote (A4) per customer over order priorities."""
+    orders = _t(spark, sf_dir, "orders")
+    return A.mode_vote(orders, ["o_custkey"], "o_orderpriority",
+                       out="mode_priority")
+
+
+SQL_MODE_VOTE = """
+WITH counts AS (SELECT o_custkey, o_orderpriority, count(*) AS votes
+                FROM orders GROUP BY 1, 2),
+ranked AS (SELECT *, row_number() OVER (
+             PARTITION BY o_custkey
+             ORDER BY votes DESC, o_orderpriority ASC) AS rn FROM counts)
+SELECT o_custkey, o_orderpriority AS mode_priority, votes FROM ranked WHERE rn = 1
+"""
+
+
+def q_multiview_mean(spark, sf_dir):
+    """Streaming-accumulation mean (A1) = partial+final agg per supplier."""
+    li = _t(spark, sf_dir, "lineitem")
+    return A.multiview_mean(li, ["l_suppkey"], "l_quantity")
+
+
+SQL_MULTIVIEW_MEAN = """
+SELECT l_suppkey,
+       count(l_quantity) AS n_obs,
+       sum(l_quantity) / count(l_quantity) AS mean_value
+FROM lineitem GROUP BY 1
+"""
+
+
+def q_covering_grid(spark, sf_dir):
+    """Covering-grid min/max (A9) over event points."""
+    ev = _t(spark, sf_dir, "events").select(
+        ((F.col("user_id") * 13 % 1000) / F.lit(10.0)).alias("x"),
+        ((F.col("user_id") * 29 % 1000) / F.lit(10.0)).alias("y"),
+        F.col("value").alias("z"))
+    return A.covering_grid(ev, "x", "y", "z", n_cells=10,
+                           xmin=0.0, ymin=0.0, xmax=100.0, ymax=100.0,
+                           z_buffer=0.25)
+
+
+SQL_COVERING_GRID = """
+WITH pts AS (SELECT (user_id * 13 % 1000) / 10.0 AS x,
+                    (user_id * 29 % 1000) / 10.0 AS y,
+                    value AS z FROM events)
+SELECT CAST(least(9, greatest(0, floor((x - 0.0) / 10.0))) AS INTEGER) AS grid_i,
+       CAST(least(9, greatest(0, floor((y - 0.0) / 10.0))) AS INTEGER) AS grid_j,
+       max(z) + 0.25 AS z_ceiling,
+       min(z) - 0.25 AS z_floor,
+       count(*) AS n_points
+FROM pts GROUP BY 1, 2
+"""
+
+
+def q_knn(spark, sf_dir):
+    """Cell-ring 1-NN join (J7): each supplier point → nearest customer."""
+    q = _t(spark, sf_dir, "supplier").select(
+        F.col("s_suppkey").alias("query_id"),
+        _pt_x("s_suppkey").alias("x"), _pt_y("s_suppkey").alias("y"))
+    r = _t(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("ref_id"),
+        _pt_x("c_custkey").alias("x"), _pt_y("c_custkey").alias("y"))
+    return KNN.knn_join(q, r, k=1, res=4).select("query_id", "ref_id")
+
+
+SQL_KNN = f"""
+WITH q AS (SELECT s_suppkey AS query_id,
+           {_PT_X_SQL.format(k='s_suppkey')} AS qx,
+           {_PT_Y_SQL.format(k='s_suppkey')} AS qy FROM supplier),
+r AS (SELECT c_custkey AS ref_id,
+      {_PT_X_SQL.format(k='c_custkey')} AS rx,
+      {_PT_Y_SQL.format(k='c_custkey')} AS ry FROM customer),
+pairs AS (SELECT query_id, ref_id,
+          sqrt((qx - rx) * (qx - rx) + (qy - ry) * (qy - ry)) AS dist
+          FROM q CROSS JOIN r),
+ranked AS (SELECT *, row_number() OVER (
+             PARTITION BY query_id ORDER BY dist ASC, ref_id ASC) AS rn
+           FROM pairs)
+SELECT query_id, ref_id FROM ranked WHERE rn = 1
+"""
+
+
+def q_proximity_edges(spark, sf_dir):
+    """Distance theta-join (J8 machinery, zero-length segments = points):
+    supplier pairs within tau with different nations (cross-image analog)."""
+    rays = _t(spark, sf_dir, "supplier").select(
+        F.col("s_suppkey").alias("ray_id"),
+        F.col("s_nationkey").cast("long").alias("camera_id"),
+        _pt_x("s_suppkey").alias("sx"), _pt_y("s_suppkey").alias("sy"),
+        F.lit(0.0).alias("sz"),
+        _pt_x("s_suppkey").alias("ex"), _pt_y("s_suppkey").alias("ey"),
+        F.lit(0.0).alias("ez"))
+    return RT.ray_proximity_edges(rays, tau=8.0).select("src", "dst")
+
+
+SQL_PROXIMITY_EDGES = f"""
+WITH p AS (SELECT s_suppkey AS id, s_nationkey AS nat,
+           {_PT_X_SQL.format(k='s_suppkey')} AS x,
+           {_PT_Y_SQL.format(k='s_suppkey')} AS y FROM supplier)
+SELECT a.id AS src, b.id AS dst
+FROM p a JOIN p b ON a.id < b.id AND a.nat <> b.nat
+WHERE sqrt((a.x - b.x) * (a.x - b.x) + (a.y - b.y) * (a.y - b.y) + 0.0 * 0.0)
+      <= 8.0
+"""
+
+
+def q_connected_components(spark, sf_dir):
+    """Min-label components (A12 analog) over the proximity graph."""
+    edges = q_proximity_edges(spark, sf_dir)
+    return RT.connected_components(edges)
+
+
+SQL_CONNECTED_COMPONENTS = f"""
+WITH RECURSIVE p AS (SELECT s_suppkey AS id, s_nationkey AS nat,
+           {_PT_X_SQL.format(k='s_suppkey')} AS x,
+           {_PT_Y_SQL.format(k='s_suppkey')} AS y FROM supplier),
+e AS (SELECT a.id AS src, b.id AS dst
+      FROM p a JOIN p b ON a.id < b.id AND a.nat <> b.nat
+      WHERE sqrt((a.x - b.x) * (a.x - b.x) + (a.y - b.y) * (a.y - b.y) + 0.0 * 0.0)
+            <= 8.0),
+sym AS (SELECT src AS a, dst AS b FROM e UNION SELECT dst, src FROM e),
+reach(a, b) AS (
+    SELECT a, a FROM (SELECT DISTINCT a FROM sym)
+    UNION
+    SELECT r.a, s.b FROM reach r JOIN sym s ON r.b = s.a
+)
+SELECT a AS node, min(b) AS component FROM reach GROUP BY a
+"""
+
+
+def q_tile_argmax(spark, sf_dir):
+    """Tile assignment + per-tile weighted class argmax (A10 semantics —
+    the headline raster-vector aggregation)."""
+    pts = _t(spark, sf_dir, "lineitem").select(
+        _pt_x("l_orderkey").alias("x"), _pt_y("l_partkey").alias("y"),
+        (F.col("l_partkey") % 5).cast("int").alias("class_id"),
+        F.col("l_quantity").alias("weight"))
+    tiled = pts.select(
+        F.floor(F.col("x") / 12.5).cast("long").alias("tile_x"),
+        F.floor(F.col("y") / 12.5).cast("long").alias("tile_y"),
+        "class_id", "weight")
+    return A.weighted_argmax(tiled, ["tile_x", "tile_y"], "class_id", "weight")
+
+
+SQL_TILE_ARGMAX = f"""
+WITH pts AS (SELECT {_PT_X_SQL.format(k='l_orderkey')} AS x,
+             {_PT_Y_SQL.format(k='l_partkey')} AS y,
+             CAST(l_partkey % 5 AS INTEGER) AS class_id,
+             l_quantity AS weight FROM lineitem),
+tiled AS (SELECT CAST(floor(x / 12.5) AS BIGINT) AS tile_x,
+                 CAST(floor(y / 12.5) AS BIGINT) AS tile_y,
+                 class_id, weight FROM pts),
+agg AS (SELECT tile_x, tile_y, class_id, sum(weight) AS total_weight
+        FROM tiled GROUP BY 1, 2, 3),
+ranked AS (SELECT *, row_number() OVER (
+             PARTITION BY tile_x, tile_y
+             ORDER BY total_weight DESC, class_id ASC) AS rn
+           FROM agg WHERE total_weight > 0)
+SELECT tile_x, tile_y, class_id AS pred_class, total_weight
+FROM ranked WHERE rn = 1
+"""
+
+
+def q_zonal_stats(spark, sf_dir):
+    """Zonal stats (J6 semantics): per-polygon per-class point counts."""
+    pts = _t(spark, sf_dir, "lineitem").select(
+        _pt_x("l_orderkey").alias("x"), _pt_y("l_partkey").alias("y"),
+        (F.col("l_suppkey") % 4).cast("int").alias("class_id"))
+    joined = SJ.points_in_polygons(pts, _rects_df(spark))
+    return joined.groupBy("polygon_id", "class_id").agg(
+        F.count(F.lit(1)).alias("pixel_count"))
+
+
+SQL_ZONAL_STATS = f"""
+WITH pts AS (SELECT {_PT_X_SQL.format(k='l_orderkey')} AS x,
+             {_PT_Y_SQL.format(k='l_partkey')} AS y,
+             CAST(l_suppkey % 4 AS INTEGER) AS class_id FROM lineitem)
+SELECT polygon_id, class_id, count(*) AS pixel_count
+FROM ({_rects_oracle_pred('x', 'y')})
+GROUP BY 1, 2
+"""
+
+
+def q_doc_roundtrip(spark, sf_dir):
+    """Span-sequence round trip (the input_hint invariant): chunk text into
+    offset-ordered spans, explode, reassemble by offset — must equal the
+    original text."""
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    chunk = 32
+    spans = docs.select(
+        "doc_id",
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(0),
+                           F.floor((F.length("text") - 1) / chunk).cast("int")),
+                lambda i: F.struct(
+                    i.alias("offset"),
+                    F.substring(F.col("text"), i * chunk + 1, chunk).alias("chunk"),
+                ))).alias("span"))
+    spans = spans.select("doc_id", F.col("span.offset").alias("offset"),
+                         F.col("span.chunk").alias("chunk"))
+    reassembled = spans.groupBy("doc_id").agg(
+        F.concat_ws("", F.transform(
+            F.sort_array(F.collect_list(F.struct("offset", "chunk"))),
+            lambda s: s["chunk"])).alias("reassembled"))
+    return reassembled
+
+
+SQL_DOC_ROUNDTRIP = """
+SELECT doc_id, text AS reassembled FROM documents
+"""
+
+
+def q_dedup_exact(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents").select(
+        F.col("doc_id").alias("doc_id"), "text")
+    return DD.exact_duplicates(docs)
+
+
+SQL_DEDUP_EXACT = """
+SELECT md5(text) AS content_hash, min(doc_id) AS canonical_id,
+       count(*) AS n_copies
+FROM documents GROUP BY 1
+"""
+
+_SHINGLE_SQL = """
+words AS (SELECT doc_id, generate_subscripts(l, 1) AS pos, unnest(l) AS w
+          FROM (SELECT doc_id, string_split(text, ' ') AS l FROM documents)),
+led AS (SELECT doc_id, w,
+        lead(w, 1) OVER (PARTITION BY doc_id ORDER BY pos) AS w1,
+        lead(w, 2) OVER (PARTITION BY doc_id ORDER BY pos) AS w2
+        FROM words),
+shingles AS (SELECT DISTINCT doc_id, w || ' ' || w1 || ' ' || w2 AS shingle
+             FROM led WHERE w1 IS NOT NULL AND w2 IS NOT NULL)
+"""
+
+
+def q_dedup_jaccard(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    return DD.jaccard_pairs(docs, threshold=0.2).select(
+        "id_a", "id_b", "inter", "size_a", "size_b", "jaccard")
+
+
+SQL_DEDUP_JACCARD = f"""
+WITH {_SHINGLE_SQL},
+sizes AS (SELECT doc_id, count(*) AS sz FROM shingles GROUP BY 1),
+inter AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS inter
+          FROM shingles a JOIN shingles b ON a.shingle = b.shingle
+          AND a.doc_id < b.doc_id GROUP BY 1, 2)
+SELECT i.id_a, i.id_b, i.inter, sa.sz AS size_a, sb.sz AS size_b,
+       i.inter / (sa.sz + sb.sz - i.inter) AS jaccard
+FROM inter i
+JOIN sizes sa ON sa.doc_id = i.id_a
+JOIN sizes sb ON sb.doc_id = i.id_b
+WHERE i.inter / (sa.sz + sb.sz - i.inter) >= 0.2
+"""
+
+
+def q_minhash_signatures(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    return DD.minhash_signatures(docs, n_hashes=8)
+
+
+SQL_MINHASH_SIGNATURES = f"""
+WITH {_SHINGLE_SQL}
+SELECT doc_id,
+  {", ".join(f"min(md5('{i}:' || shingle)) AS h{i}" for i in range(8))}
+FROM shingles GROUP BY doc_id
+"""
+
+
+def q_lsh_candidates(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    sigs = DD.minhash_signatures(docs, n_hashes=8)
+    return DD.lsh_candidate_pairs(sigs, n_hashes=8, bands=4)
+
+
+SQL_LSH_CANDIDATES = f"""
+WITH {_SHINGLE_SQL},
+sigs AS (SELECT doc_id,
+  {", ".join(f"min(md5('{i}:' || shingle)) AS h{i}" for i in range(8))}
+  FROM shingles GROUP BY doc_id),
+banded AS (
+  {" UNION ALL ".join(
+      f"SELECT doc_id, {b} AS band_idx, "
+      f"md5('{b}' || '|' || h{2*b} || '|' || h{2*b+1}) AS band_hash FROM sigs"
+      for b in range(4))}
+)
+SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_bands_matched
+FROM banded a JOIN banded b
+  ON a.band_idx = b.band_idx AND a.band_hash = b.band_hash
+ AND a.doc_id < b.doc_id
+GROUP BY 1, 2
+"""
+
+
+def q_ann_cosine(spark, sf_dir):
+    emb = _t(spark, sf_dir, "embeddings")
+    out = SIM.cosine_topk_bruteforce(emb, k=3)
+    return out.select("vec_id", "neighbor_id", F.col("rank").cast("long").alias("rank"))
+
+
+SQL_ANN_COSINE = """
+WITH q AS (SELECT vec_id, list_transform(embedding,
+             x -> CAST(round(CAST(x AS DOUBLE) * 1000) AS BIGINT)) AS qv
+           FROM embeddings),
+flat AS (SELECT vec_id, generate_subscripts(qv, 1) AS pos, unnest(qv) AS v
+         FROM q),
+norms AS (SELECT vec_id, sum(v * v) AS n2 FROM flat GROUP BY 1),
+dots AS (SELECT a.vec_id AS vec_id, b.vec_id AS neighbor_id,
+                sum(a.v * b.v) AS dot
+         FROM flat a JOIN flat b ON a.pos = b.pos AND a.vec_id <> b.vec_id
+         GROUP BY 1, 2),
+sims AS (SELECT d.vec_id, d.neighbor_id,
+                CAST(d.dot AS DOUBLE) /
+                sqrt(CAST(na.n2 AS DOUBLE) * CAST(nb.n2 AS DOUBLE)) AS sim
+         FROM dots d
+         JOIN norms na ON na.vec_id = d.vec_id
+         JOIN norms nb ON nb.vec_id = d.neighbor_id),
+ranked AS (SELECT *, row_number() OVER (
+             PARTITION BY vec_id ORDER BY sim DESC, neighbor_id ASC) AS rank
+           FROM sims)
+SELECT vec_id, neighbor_id, rank FROM ranked WHERE rank <= 3
+"""
+
+
+def q_text_quality(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    return TS.quality_features(docs).select(
+        "doc_id", F.col("n_tokens").cast("long").alias("n_tokens"),
+        F.col("n_chars_measured").cast("long").alias("n_chars_measured"),
+        "distinct_ratio", "stopword_ratio")
+
+
+SQL_TEXT_QUALITY = f"""
+WITH words AS (SELECT doc_id, unnest(string_split(text, ' ')) AS w
+               FROM documents),
+stats AS (SELECT doc_id, count(*) AS n_tokens,
+          count(DISTINCT w) AS n_distinct,
+          sum(CASE WHEN w IN ({", ".join(repr(s) for s in TS.STOPWORDS)})
+              THEN 1 ELSE 0 END) AS stop_hits
+          FROM words GROUP BY 1)
+SELECT d.doc_id, s.n_tokens,
+       length(d.text) AS n_chars_measured,
+       s.n_distinct / CAST(s.n_tokens AS DOUBLE) AS distinct_ratio,
+       s.stop_hits / CAST(s.n_tokens AS DOUBLE) AS stopword_ratio
+FROM documents d JOIN stats s ON d.doc_id = s.doc_id
+"""
+
+
+def q_lang_id(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    out = TS.language_id(docs)
+    return out.select("doc_id", "pred_lang",
+                      F.col("marker_hits").cast("long").alias("marker_hits"))
+
+
+def _lang_sql() -> str:
+    score_cols = []
+    for lang, markers in TS.LANG_MARKERS.items():
+        inlist = ", ".join(repr(m) for m in markers)
+        score_cols.append(
+            f"sum(CASE WHEN w IN ({inlist}) THEN 1 ELSE 0 END) AS s_{lang}")
+    langs = list(TS.LANG_MARKERS)
+    best = "greatest(" + ", ".join(f"s_{l}" for l in langs) + ")"
+    case = "CASE " + " ".join(
+        f"WHEN s_{l} = best AND best > 0 THEN '{l}'" for l in langs
+    ) + " ELSE 'und' END"
+    return f"""
+WITH words AS (SELECT doc_id, unnest(string_split(text, ' ')) AS w
+               FROM documents),
+scores AS (SELECT doc_id, {", ".join(score_cols)} FROM words GROUP BY 1),
+withbest AS (SELECT *, {best} AS best FROM scores)
+SELECT doc_id, {case} AS pred_lang,
+       CAST(best AS BIGINT) AS marker_hits FROM withbest
+"""
+
+
+SQL_LANG_ID = _lang_sql()
+
+
+def q_fingerprint(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    return TS.fingerprint(docs, n=4)
+
+
+SQL_FINGERPRINT = """
+WITH words AS (SELECT doc_id, generate_subscripts(l, 1) AS pos, unnest(l) AS w
+          FROM (SELECT doc_id, string_split(text, ' ') AS l FROM documents)),
+led AS (SELECT doc_id, w,
+        lead(w, 1) OVER (PARTITION BY doc_id ORDER BY pos) AS w1,
+        lead(w, 2) OVER (PARTITION BY doc_id ORDER BY pos) AS w2,
+        lead(w, 3) OVER (PARTITION BY doc_id ORDER BY pos) AS w3
+        FROM words),
+shingles AS (SELECT DISTINCT doc_id,
+             w || ' ' || w1 || ' ' || w2 || ' ' || w3 AS shingle
+             FROM led WHERE w1 IS NOT NULL AND w2 IS NOT NULL
+             AND w3 IS NOT NULL)
+SELECT doc_id, min(md5(shingle)) AS fingerprint FROM shingles GROUP BY 1
+"""
+
+
+def q_token_counts(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    return docs.select(
+        "doc_id",
+        TS.token_count_col(F.col("text")).cast("long").alias("n_tokens"),
+        TS.bpe_estimate_col(F.col("text")).cast("long").alias("bpe_tokens"))
+
+
+SQL_TOKEN_COUNTS = """
+SELECT doc_id, len(string_split(text, ' ')) AS n_tokens,
+       CAST(ceil(length(text) / 4.0) AS BIGINT) AS bpe_tokens
+FROM documents
+"""
+
+
+# ---------------------------------------------------------------------------
+# Non-SQL-expressible ops (rows-only checks): scene-fixture pipelines
+# ---------------------------------------------------------------------------
+
+def _scene(spark):
+    from ..sources.scene import make_scene, scene_to_spark
+
+    return scene_to_spark(spark, make_scene(seed=42))
+
+
+def q_visibility_zbuffer(spark, sf_dir):
+    """J1: the z-buffer visibility join on the deterministic scene."""
+    from ..operators import visibility as V
+
+    verts, faces, polys, cams = _scene(spark)
+    return V.visibility_join(cams, faces).orderBy("camera_id", "face_id")
+
+
+def q_face_class_union(spark, sf_dir):
+    """A6: per-class footprint union (areas rounded for stability)."""
+    from ..operators.union import face_class_union
+
+    verts, faces, polys, cams = _scene(spark)
+    return face_class_union(faces, verts).select(
+        "class_id", F.round("area", 9).alias("area"), "n_rings")
+
+
+def q_triangulate(spark, sf_dir):
+    """J8+A12+A11: rays → edges → components → triangulated 3D points."""
+    from ..functions import camera as cam_fn
+    import pandas as pd
+
+    verts, faces, polys, cams = _scene(spark)
+    from ..sources.scene import make_scene
+    scene = make_scene(seed=42)
+    targets = np.array([[3.0, 3.0, 0.5], [7.0, 7.0, 0.8], [5.0, 2.0, 0.2]])
+    rows = []
+    rid = 0
+    for t_idx, tgt in enumerate(targets):
+        for c in scene.cameras:
+            c2w = np.asarray(c["cam_to_world"]).reshape(4, 4)
+            px, py, z = cam_fn.project_points(
+                tgt[None, :], c2w, c["f"], c["cx"], c["cy"], c["w"], c["h"])
+            if not cam_fn.in_image_mask(px, py, z, c["w"], c["h"])[0]:
+                continue
+            s, e = cam_fn.cast_rays(px, py, c2w, c["f"], c["cx"], c["cy"],
+                                    c["w"], c["h"], length=25.0)
+            rows.append({"ray_id": rid, "camera_id": c["camera_id"],
+                         "sx": s[0, 0], "sy": s[0, 1], "sz": s[0, 2],
+                         "ex": e[0, 0], "ey": e[0, 1], "ez": e[0, 2]})
+            rid += 1
+    rays = spark.createDataFrame(pd.DataFrame(rows))
+    edges = RT.ray_proximity_edges(rays, tau=0.05)
+    comp = RT.connected_components(edges)
+    out = RT.triangulate_components(rays, comp)
+    return out.select(
+        "component", "n_rays",
+        F.round("px", 6).alias("px"), F.round("py", 6).alias("py"),
+        F.round("pz", 6).alias("pz"))
+
+
+def q_simhash(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    return DD.simhash(docs, n=2)
+
+
+def q_ann_lsh(spark, sf_dir):
+    emb = _t(spark, sf_dir, "embeddings")
+    return SIM.cosine_topk_lsh(emb, k=3).select("vec_id", "neighbor_id", "rank")
+
+
+def q_rasterize_scene(spark, sf_dir):
+    """A10/S10: top-down tile rasterization of the scene's labeled faces."""
+    from ..operators import tiles as TL
+
+    verts, faces, polys, cams = _scene(spark)
+    grid = TL.TileGrid(0.0, 10.0, 0.05, 64)
+    return TL.rasterize_face_labels(
+        faces.filter(F.col("class_id").isNotNull()), grid)
+
+
+def q_multimodal_features(spark, sf_dir):
+    """Multimodal plumbing: stub decode → pooled features (deterministic)."""
+    from ..operators import multimodal as MM
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    media = docs.select(
+        F.concat(F.lit("img://"), F.col("doc_id").cast("string")).alias("media_ref"),
+        F.lit("image").alias("kind"),
+        F.encode("text", "utf-8").alias("payload"),
+        F.create_map().cast("map<string,string>").alias("meta"))
+    return MM.image_features(media).select(
+        "media_ref", "height", "width",
+        F.round("mean_r", 6).alias("mean_r"))
+
+
+# ---------------------------------------------------------------------------
+# Registry
+# ---------------------------------------------------------------------------
+
+QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
+    "cell_count": q_cell_count,
+    "pip_concave": q_pip_concave,
+    "points_in_polygons": q_points_in_polygons,
+    "label_polygons": q_label_polygons,
+    "mode_vote": q_mode_vote,
+    "multiview_mean": q_multiview_mean,
+    "covering_grid": q_covering_grid,
+    "knn": q_knn,
+    "proximity_edges": q_proximity_edges,
+    "connected_components": q_connected_components,
+    "tile_argmax": q_tile_argmax,
+    "zonal_stats": q_zonal_stats,
+    "doc_roundtrip": q_doc_roundtrip,
+    "dedup_exact": q_dedup_exact,
+    "dedup_jaccard": q_dedup_jaccard,
+    "minhash_signatures": q_minhash_signatures,
+    "lsh_candidates": q_lsh_candidates,
+    "ann_cosine": q_ann_cosine,
+    "text_quality": q_text_quality,
+    "lang_id": q_lang_id,
+    "fingerprint": q_fingerprint,
+    "token_counts": q_token_counts,
+    # rows-only (no SQL analog): custom kernels
+    "visibility_zbuffer": q_visibility_zbuffer,
+    "face_class_union": q_face_class_union,
+    "triangulate": q_triangulate,
+    "simhash": q_simhash,
+    "ann_lsh": q_ann_lsh,
+    "rasterize_scene": q_rasterize_scene,
+    "multimodal_features": q_multimodal_features,
+}
+
+ORACLES: dict[str, str] = {
+    "cell_count": SQL_CELL_COUNT,
+    "pip_concave": SQL_PIP_CONCAVE,
+    "points_in_polygons": SQL_POINTS_IN_POLYGONS,
+    "label_polygons": SQL_LABEL_POLYGONS,
+    "mode_vote": SQL_MODE_VOTE,
+    "multiview_mean": SQL_MULTIVIEW_MEAN,
+    "covering_grid": SQL_COVERING_GRID,
+    "knn": SQL_KNN,
+    "proximity_edges": SQL_PROXIMITY_EDGES,
+    "connected_components": SQL_CONNECTED_COMPONENTS,
+    "tile_argmax": SQL_TILE_ARGMAX,
+    "zonal_stats": SQL_ZONAL_STATS,
+    "doc_roundtrip": SQL_DOC_ROUNDTRIP,
+    "dedup_exact": SQL_DEDUP_EXACT,
+    "dedup_jaccard": SQL_DEDUP_JACCARD,
+    "minhash_signatures": SQL_MINHASH_SIGNATURES,
+    "lsh_candidates": SQL_LSH_CANDIDATES,
+    "ann_cosine": SQL_ANN_COSINE,
+    "text_quality": SQL_TEXT_QUALITY,
+    "lang_id": SQL_LANG_ID,
+    "fingerprint": SQL_FINGERPRINT,
+    "token_counts": SQL_TOKEN_COUNTS,
+}

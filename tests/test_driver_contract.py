@@ -1,0 +1,99 @@
+"""Local mirror of the driver's correctness gate: run every queries() entry
+and compare against its oracle_sql() via DuckDB (row count + sorted-value
+equality), at sf0.01 — the same scale the driver uses."""
+
+import numpy as np
+import pandas as pd
+import pytest
+
+SF_DIR = "/root/testdata/sf0.01"
+TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
+          "lineitem", "events", "documents", "embeddings"]
+
+
+@pytest.fixture(scope="module")
+def contract():
+    import importlib.util
+
+    spec = importlib.util.spec_from_file_location(
+        "__spark_entry__", "/root/repo/__spark_entry__.py")
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    return mod
+
+
+@pytest.fixture(scope="module")
+def duck():
+    import duckdb
+
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM '{SF_DIR}/{t}.parquet'")
+    return con
+
+
+def _canon(df: pd.DataFrame) -> pd.DataFrame:
+    df = df[sorted(df.columns)].copy()
+    for c in df.columns:
+        if df[c].dtype == object and len(df) and isinstance(df[c].iloc[0], (bytes, bytearray)):
+            df[c] = df[c].apply(lambda b: bytes(b).hex())
+    return df.sort_values(list(df.columns)).reset_index(drop=True)
+
+
+def _compare(spark_pdf: pd.DataFrame, duck_pdf: pd.DataFrame, name: str):
+    a, b = _canon(spark_pdf), _canon(duck_pdf)
+    assert len(a) == len(b), f"{name}: row count {len(a)} vs oracle {len(b)}"
+    assert list(a.columns) == list(b.columns), \
+        f"{name}: columns {list(a.columns)} vs {list(b.columns)}"
+    for c in a.columns:
+        av, bv = a[c].to_numpy(), b[c].to_numpy()
+        if av.dtype.kind == "f" or bv.dtype.kind == "f":
+            av = av.astype(np.float64); bv = bv.astype(np.float64)
+            both_nan = np.isnan(av) & np.isnan(bv)
+            same = (av == bv) | both_nan
+        else:
+            same = av == bv
+        nbad = int((~same).sum())
+        assert nbad == 0, (
+            f"{name}.{c}: {nbad}/{len(a)} values differ; "
+            f"first: {av[~same][:3]} vs {bv[~same][:3]}")
+
+
+def test_entry_smoke(contract, spark):
+    df = contract.entry(spark)
+    rows = df.collect()
+    assert len(rows) >= 0
+    assert df.schema is not None
+
+
+def test_every_query_has_runnable_callable(contract, spark):
+    qs = contract.queries()
+    assert len(qs) >= 25
+    oracles = contract.oracle_sql()
+    assert set(oracles) <= set(qs)
+
+
+@pytest.mark.parametrize("name", [
+    "cell_count", "pip_concave", "points_in_polygons", "label_polygons",
+    "mode_vote", "multiview_mean", "covering_grid", "knn",
+    "proximity_edges", "connected_components", "tile_argmax", "zonal_stats",
+    "doc_roundtrip", "dedup_exact", "dedup_jaccard", "minhash_signatures",
+    "lsh_candidates", "ann_cosine", "text_quality", "lang_id",
+    "fingerprint", "token_counts",
+])
+def test_query_matches_oracle(contract, spark, duck, name):
+    q = contract.queries()[name]
+    sql = contract.oracle_sql()[name]
+    spark_pdf = q(spark, SF_DIR).toPandas()
+    duck_pdf = duck.execute(sql).df()
+    _compare(spark_pdf, duck_pdf, name)
+
+
+@pytest.mark.parametrize("name", [
+    "visibility_zbuffer", "face_class_union", "triangulate", "simhash",
+    "ann_lsh", "rasterize_scene", "multimodal_features",
+])
+def test_rows_only_queries_run(contract, spark, name):
+    df = contract.queries()[name](spark, SF_DIR)
+    assert df.count() > 0

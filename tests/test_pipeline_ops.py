@@ -1,0 +1,199 @@
+"""Training-data-pipeline ops: dedup tiers, ANN, text stats, multimodal
+plumbing, checkpoint resume."""
+
+import numpy as np
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from geograypher_spark.operators import dedup as DD
+from geograypher_spark.operators import multimodal as MM
+from geograypher_spark.operators import similarity as SIM
+from geograypher_spark.operators import textstats as TS
+from geograypher_spark.plans.checkpoints import CheckpointManager, content_key
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    rows = [
+        ("d1", "the quick brown fox jumps over the lazy dog"),
+        ("d2", "the quick brown fox jumps over the lazy dog"),     # exact dup of d1
+        ("d3", "the quick brown fox leaps over the lazy dog"),     # near dup
+        ("d4", "completely different text about spark engines"),
+        ("d5", "el gato la casa de la madre y el perro"),
+        ("d6", "completely different text about spark engines"),   # exact dup of d4
+    ]
+    return spark.createDataFrame(rows, "doc_id string, text string")
+
+
+class TestDedup:
+    def test_exact(self, spark, docs):
+        got = DD.exact_duplicates(docs).collect()
+        groups = {r["canonical_id"]: r["n_copies"] for r in got}
+        assert groups["d1"] == 2
+        assert groups["d4"] == 2
+        assert groups["d3"] == 1 and groups["d5"] == 1
+        assert len(got) == 4
+
+    def test_shingles(self, spark, docs):
+        sh = DD.word_shingles(docs, n=3).filter(F.col("doc_id") == "d1").collect()
+        text = "the quick brown fox jumps over the lazy dog".split()
+        expect = {" ".join(text[i:i + 3]) for i in range(len(text) - 2)}
+        assert {r["shingle"] for r in sh} == expect
+
+    def test_jaccard(self, spark, docs):
+        got = {(r["id_a"], r["id_b"]): r["jaccard"]
+               for r in DD.jaccard_pairs(docs, threshold=0.3).collect()}
+        assert got[("d1", "d2")] == 1.0
+        assert got[("d4", "d6")] == 1.0
+        assert ("d1", "d3") in got and got[("d1", "d3")] < 1.0
+        # brute-force jaccard check for d1-d3
+        t1 = "the quick brown fox jumps over the lazy dog".split()
+        t3 = "the quick brown fox leaps over the lazy dog".split()
+        s1 = {" ".join(t1[i:i + 3]) for i in range(len(t1) - 2)}
+        s3 = {" ".join(t3[i:i + 3]) for i in range(len(t3) - 2)}
+        assert got[("d1", "d3")] == pytest.approx(len(s1 & s3) / len(s1 | s3))
+
+    def test_minhash_lsh_finds_dups(self, spark, docs):
+        got = {(r["id_a"], r["id_b"]): r["jaccard"]
+               for r in DD.minhash_dedup(docs, threshold=0.3).collect()}
+        assert got[("d1", "d2")] == 1.0            # exact dups always collide
+        assert got[("d4", "d6")] == 1.0
+        # verified jaccard matches the exact computation (no FP survives)
+        exact = {(r["id_a"], r["id_b"]): r["jaccard"]
+                 for r in DD.jaccard_pairs(docs, threshold=0.0).collect()}
+        for pair, j in got.items():
+            assert j == pytest.approx(exact[pair])
+
+    def test_simhash_near_pairs(self, spark, docs):
+        sims = DD.simhash(docs, n=2)
+        pairs = {(r["id_a"], r["id_b"]): r["hamming"]
+                 for r in DD.simhash_near_pairs(sims, max_hamming=3).collect()}
+        assert pairs[("d1", "d2")] == 0
+        assert pairs[("d4", "d6")] == 0
+        # d3 is a near dup of d1/d2 → hamming(d1,d3) < hamming(d1,d4),
+        # measured directly on the signatures (the bucketed join only
+        # guarantees candidates for hamming < n_blocks — pigeonhole)
+        sh = {r["doc_id"]: r["simhash"] for r in sims.collect()}
+        ham = lambda a, b: bin((sh[a] ^ sh[b]) & (2**64 - 1)).count("1")
+        assert ham("d1", "d3") < ham("d1", "d4")
+
+
+class TestSimilarity:
+    def test_bruteforce_matches_numpy(self, spark):
+        rng = np.random.default_rng(9)
+        V = rng.normal(size=(40, 16)).astype(np.float32)
+        pdf = pd.DataFrame({"vec_id": np.arange(40, dtype=np.int64),
+                            "embedding": list(V)})
+        df = spark.createDataFrame(pdf)
+        got = SIM.cosine_topk_bruteforce(df, k=3).collect()
+        by_q = {}
+        for r in got:
+            by_q.setdefault(r["vec_id"], []).append((r["rank"], r["neighbor_id"]))
+        Q = np.round(V.astype(np.float64) * 1000)
+        S = (Q @ Q.T) / np.sqrt(np.outer((Q * Q).sum(1), (Q * Q).sum(1)))
+        np.fill_diagonal(S, -2)
+        for q in range(40):
+            order = np.lexsort((np.arange(40), -S[q]))[:3]
+            got_order = [n for _, n in sorted(by_q[q])]
+            assert got_order == order.tolist(), f"query {q}"
+
+    def test_lsh_recall_reasonable(self, spark):
+        rng = np.random.default_rng(10)
+        # clustered vectors → high recall within clusters
+        centers = rng.normal(size=(5, 16)) * 3
+        V = np.vstack([c + rng.normal(size=(8, 16)) * 0.1 for c in centers]).astype(np.float32)
+        pdf = pd.DataFrame({"vec_id": np.arange(40, dtype=np.int64), "embedding": list(V)})
+        df = spark.createDataFrame(pdf)
+        exact = {(r["vec_id"], r["neighbor_id"])
+                 for r in SIM.cosine_topk_bruteforce(df, k=1).collect()}
+        approx = {(r["vec_id"], r["neighbor_id"])
+                  for r in SIM.cosine_topk_lsh(df, k=1, n_planes=12, bands=4).collect()}
+        recall = len(exact & approx) / len(exact)
+        assert recall >= 0.9
+
+
+class TestTextStats:
+    def test_token_counts(self, spark, docs):
+        got = docs.select(
+            "doc_id", TS.token_count_col(F.col("text")).alias("n"),
+            TS.bpe_estimate_col(F.col("text")).alias("bpe")).collect()
+        m = {r["doc_id"]: (r["n"], r["bpe"]) for r in got}
+        assert m["d1"][0] == 9
+        assert m["d1"][1] == int(np.ceil(len("the quick brown fox jumps over the lazy dog") / 4))
+
+    def test_quality_features(self, spark, docs):
+        got = {r["doc_id"]: r for r in TS.quality_features(docs).collect()}
+        r = got["d1"]
+        assert r["n_tokens"] == 9
+        assert r["stopword_ratio"] == pytest.approx(2 / 9)  # 'the' twice
+        assert r["punct_ratio"] == 0.0
+        assert r["distinct_ratio"] == pytest.approx(8 / 9)
+
+    def test_language_id(self, spark, docs):
+        got = {r["doc_id"]: r["pred_lang"] for r in TS.language_id(docs).collect()}
+        assert got["d1"] == "en"
+        assert got["d5"] == "es"
+        assert got["d4"] == "und" or got["d4"] == "en"  # no/weak markers
+
+    def test_fingerprint_equal_for_exact_dups(self, spark, docs):
+        got = {r["doc_id"]: r["fingerprint"] for r in TS.fingerprint(docs).collect()}
+        assert got["d1"] == got["d2"]
+        assert got["d4"] == got["d6"]
+        assert got["d1"] != got["d4"]
+
+
+class TestMultimodal:
+    def _media(self, spark):
+        rows = [("m1", "image", b"payload-1", {}), ("m2", "image", b"payload-2", {}),
+                ("v1", "video", b"vid-1", {})]
+        return spark.createDataFrame(rows, MM.MEDIA_SCHEMA)
+
+    def test_decode_stub_raises_without_fake(self):
+        with pytest.raises(NotImplementedError):
+            MM.decode_image(b"x", fake=False)
+
+    def test_image_features_deterministic(self, spark):
+        m = self._media(spark)
+        a = {r["media_ref"]: r for r in MM.image_features(m).collect()}
+        b = {r["media_ref"]: r for r in MM.image_features(m).collect()}
+        assert set(a) == {"m1", "m2"}
+        for k in a:
+            assert a[k]["mean_r"] == b[k]["mean_r"]
+            assert list(a[k]["feature"]) == list(b[k]["feature"])
+            assert len(a[k]["feature"]) == 4 * 4 * 3
+
+    def test_video_frame_sampling(self, spark):
+        m = self._media(spark)
+        frames = MM.sample_video_frames(m, every_nth=10, n_frames=30, h=8, w=8).collect()
+        assert [r["frame_idx"] for r in sorted(frames, key=lambda r: r["frame_idx"])] == [0, 10, 20]
+        assert all(len(bytes(r["frame"])) == 8 * 8 * 3 for r in frames)
+
+
+class TestCheckpoints:
+    def test_resume_skips_completed_stage(self, spark, tmp_path):
+        mgr = CheckpointManager(spark, str(tmp_path))
+        calls = {"n": 0}
+
+        def build():
+            calls["n"] += 1
+            return spark.range(100).withColumn("v", F.col("id") * 2)
+
+        df1, key1 = mgr.run("double", {"mult": 2}, [], build)
+        assert calls["n"] == 1 and df1.count() == 100
+        df2, key2 = mgr.run("double", {"mult": 2}, [], build)
+        assert calls["n"] == 1  # skipped
+        assert key1 == key2
+        # changed params → new key, rebuild
+        df3, key3 = mgr.run("double", {"mult": 3}, [], build)
+        assert calls["n"] == 2 and key3 != key1
+        lineage = mgr.lineage()
+        assert len(lineage) == 3
+        assert lineage[1]["skipped"] is True
+        assert sum(lineage[0]["partition_rows"].values()) == 100
+
+    def test_key_depends_on_inputs(self):
+        k1 = content_key("s", {"a": 1}, ["x"])
+        k2 = content_key("s", {"a": 1}, ["y"])
+        k3 = content_key("s", {"a": 2}, ["x"])
+        assert len({k1, k2, k3}) == 3
