@@ -28,7 +28,9 @@ HEADLINE = [
     "visibility_zbuffer",   # z-buffer visibility join (J1, scene fixture)
     "dedup_jaccard",        # n-gram Jaccard dedup
     "minhash_signatures",   # MinHash signatures
-    "ann_cosine",           # brute-force cosine top-k
+    "ann_lsh",              # hyperplane-LSH cosine top-k (the scale path;
+                            # ann_cosine brute force stays in the
+                            # correctness contract, not the headline)
     "doc_roundtrip",        # span explode + reassemble
 ]
 

@@ -121,6 +121,79 @@ def brown_conrady_distort(
     return xd, yd
 
 
+def brown_conrady_undistort(
+    xd: np.ndarray, yd: np.ndarray, params: dict[str, float],
+    iters: int = 10,
+) -> tuple[np.ndarray, np.ndarray]:
+    """Inverse distortion by fixed-point iteration (X8 analog).
+
+    The reference inverts the warp with scipy ``griddata`` interpolation
+    (``utils/indexing.py:87-150``); the standard closed-loop iteration
+    x ← xd − D(x) converges for physical distortion magnitudes and needs
+    no grid — vectorized over the whole pixel batch."""
+    xn, yn = np.asarray(xd, dtype=np.float64).copy(), np.asarray(yd, dtype=np.float64).copy()
+    for _ in range(iters):
+        xdist, ydist = brown_conrady_distort(xn, yn, params)
+        xn += xd - xdist
+        yn += yd - ydist
+    return xn, yn
+
+
+def angle_between(v1: np.ndarray, v2: np.ndarray) -> np.ndarray:
+    """(n,3)×(n,3) → angle in radians (X14, ``utils/geometric.py:109-121``)."""
+    a = np.asarray(v1, dtype=np.float64)
+    b = np.asarray(v2, dtype=np.float64)
+    dot = np.einsum("ij,ij->i", a, b)
+    na = np.linalg.norm(a, axis=1)
+    nb = np.linalg.norm(b, axis=1)
+    with np.errstate(invalid="ignore", divide="ignore"):
+        c = np.clip(dot / (na * nb), -1.0, 1.0)
+    return np.arccos(c)
+
+
+def rpy_rotation(roll: float, pitch: float, yaw: float) -> np.ndarray:
+    """Roll-pitch-yaw (XYZ intrinsic) rotation matrix (X15,
+    ``utils/image.py:29-45``)."""
+    cr, sr = np.cos(roll), np.sin(roll)
+    cp, sp = np.cos(pitch), np.sin(pitch)
+    cy, sy = np.cos(yaw), np.sin(yaw)
+    Rx = np.array([[1, 0, 0], [0, cr, -sr], [0, sr, cr]])
+    Ry = np.array([[cp, 0, sp], [0, 1, 0], [-sp, 0, cp]])
+    Rz = np.array([[cy, -sy, 0], [sy, cy, 0], [0, 0, 1]])
+    return Rz @ Ry @ Rx
+
+
+def equirect_to_perspective(
+    pano: np.ndarray, fov_deg: float, roll: float, pitch: float, yaw: float,
+    out_h: int, out_w: int,
+) -> np.ndarray:
+    """Equirectangular panorama → perspective view (X15,
+    ``utils/image.py:129-267``): cast the virtual camera's pixel rays,
+    rotate by RPY, convert to (lon, lat) on the sphere, bilinear-sample.
+    Pure numpy; image-shaped → meant for use inside mapInPandas."""
+    H, W = pano.shape[:2]
+    f = (out_w / 2.0) / np.tan(np.radians(fov_deg) / 2.0)
+    xs = np.arange(out_w) - out_w / 2.0 + 0.5
+    ys = np.arange(out_h) - out_h / 2.0 + 0.5
+    gx, gy = np.meshgrid(xs, ys, indexing="xy")
+    dirs = np.stack([gx, gy, np.full_like(gx, f)], axis=-1)
+    dirs /= np.linalg.norm(dirs, axis=-1, keepdims=True)
+    R = rpy_rotation(roll, pitch, yaw)
+    d = dirs @ R.T
+    lon = np.arctan2(d[..., 0], d[..., 2])           # [-pi, pi]
+    lat = np.arcsin(np.clip(d[..., 1], -1, 1))       # [-pi/2, pi/2]
+    u = (lon / np.pi + 1) / 2 * (W - 1)
+    v = (lat / (np.pi / 2) + 1) / 2 * (H - 1)
+    u0 = np.floor(u).astype(int); v0 = np.floor(v).astype(int)
+    u1 = np.clip(u0 + 1, 0, W - 1); v1 = np.clip(v0 + 1, 0, H - 1)
+    u0 = np.clip(u0, 0, W - 1); v0 = np.clip(v0, 0, H - 1)
+    fu = (u - u0)[..., None] if pano.ndim == 3 else (u - u0)
+    fv = (v - v0)[..., None] if pano.ndim == 3 else (v - v0)
+    p = (pano[v0, u0] * (1 - fu) * (1 - fv) + pano[v0, u1] * fu * (1 - fv)
+         + pano[v1, u0] * (1 - fu) * fv + pano[v1, u1] * fu * fv)
+    return p.astype(pano.dtype)
+
+
 # ---------------------------------------------------------------------------
 # Segment–segment closest distance (the J8 theta-join kernel)
 # ---------------------------------------------------------------------------

@@ -289,6 +289,199 @@ def triangles_union_rings(tri_vert_ids: np.ndarray, coords: np.ndarray) -> list[
 
 
 # ---------------------------------------------------------------------------
+# Ear-clipping triangulation (enables concave∩concave overlay: J5/A7)
+# ---------------------------------------------------------------------------
+
+def triangulate_ring(ring: np.ndarray) -> list[np.ndarray]:
+    """Ear-clipping triangulation of a simple (hole-free) ring → list of
+    (3,2) triangles. O(n²) — polygon vertex counts are small (post-union
+    boundaries, label polygons). Orientation-insensitive."""
+    pts = np.asarray(ring, dtype=np.float64)
+    if np.array_equal(pts[0], pts[-1]):
+        pts = pts[:-1]
+    n = len(pts)
+    if n < 3:
+        return []
+    idx = list(range(n))
+    if ring_signed_area(np.vstack([pts, pts[:1]])) < 0:
+        idx = idx[::-1]
+    tris: list[np.ndarray] = []
+    guard = 0
+    while len(idx) > 3 and guard < 10 * n:
+        guard += 1
+        m = len(idx)
+        clipped = False
+        for k in range(m):
+            i0, i1, i2 = idx[(k - 1) % m], idx[k], idx[(k + 1) % m]
+            a, b, c = pts[i0], pts[i1], pts[i2]
+            cross = (b[0] - a[0]) * (c[1] - a[1]) - (b[1] - a[1]) * (c[0] - a[0])
+            if cross <= 1e-14:   # reflex or degenerate
+                continue
+            # no other vertex strictly inside the candidate ear
+            others = [j for j in idx if j not in (i0, i1, i2)]
+            if others:
+                tri = np.array([a, b, c])
+                ox = pts[others, 0]; oy = pts[others, 1]
+                inside = points_in_ring(ox, oy, np.vstack([tri, tri[:1]]))
+                if inside.any():
+                    continue
+            tris.append(np.array([a, b, c]))
+            del idx[k]
+            clipped = True
+            break
+        if not clipped:  # numeric fallback: fan (valid for near-convex rest)
+            break
+    if len(idx) >= 3:
+        for k in range(1, len(idx) - 1):
+            tris.append(np.array([pts[idx[0]], pts[idx[k]], pts[idx[k + 1]]]))
+    return tris
+
+
+def polygon_intersection_area(polys_a: list[list[np.ndarray]],
+                              polys_b: list[list[np.ndarray]]) -> float:
+    """Exact area of A∩B for arbitrary (Multi)Polygons with holes:
+    triangulate both into signed triangle soups (exterior +, holes −),
+    then Σ signed clip areas of every triangle pair — Sutherland–Hodgman
+    handles any-subject × convex-clipper, and triangles are convex.
+    Replaces GEOS ``overlay(how="intersection")`` area semantics (J5)."""
+    def signed_tris(polys):
+        out = []
+        for rings in polys:
+            for t in triangulate_ring(rings[0]):
+                out.append((t, 1.0))
+            for hole in rings[1:]:
+                for t in triangulate_ring(hole):
+                    out.append((t, -1.0))
+        return out
+
+    ta = signed_tris(polys_a)
+    tb = signed_tris(polys_b)
+    area = 0.0
+    for a, sa in ta:
+        for b, sb in tb:
+            area += sa * sb * clip_area_convex(a, b)
+    return area
+
+
+# ---------------------------------------------------------------------------
+# Simplify / buffer (X12 analogs, pure numpy)
+# ---------------------------------------------------------------------------
+
+def simplify_chain(pts: np.ndarray, tol: float) -> np.ndarray:
+    """Douglas–Peucker on an open polyline; endpoints always kept."""
+    pts = np.asarray(pts, dtype=np.float64)
+    if len(pts) <= 2:
+        return pts
+    keep = np.zeros(len(pts), dtype=bool)
+    keep[0] = keep[-1] = True
+    stack = [(0, len(pts) - 1)]
+    while stack:
+        lo, hi = stack.pop()
+        if hi <= lo + 1:
+            continue
+        a, b = pts[lo], pts[hi]
+        ab = b - a
+        L = np.hypot(ab[0], ab[1])
+        seg = pts[lo + 1:hi]
+        if L < 1e-300:
+            d = np.hypot(seg[:, 0] - a[0], seg[:, 1] - a[1])
+        else:
+            d = np.abs(ab[0] * (seg[:, 1] - a[1]) - ab[1] * (seg[:, 0] - a[0])) / L
+        imax = int(np.argmax(d))
+        if d[imax] > tol:
+            k = lo + 1 + imax
+            keep[k] = True
+            stack.append((lo, k))
+            stack.append((k, hi))
+    return pts[keep]
+
+
+def simplify_ring(ring: np.ndarray, tol: float) -> np.ndarray:
+    """Douglas–Peucker simplification of a closed ring: split at vertex 0
+    and its farthest vertex into two open chains, simplify each, rejoin."""
+    pts = np.asarray(ring, dtype=np.float64)
+    closed = np.array_equal(pts[0], pts[-1])
+    if closed:
+        pts = pts[:-1]
+    if len(pts) <= 3:
+        return np.vstack([pts, pts[:1]]) if closed else pts
+    d0 = np.hypot(pts[:, 0] - pts[0, 0], pts[:, 1] - pts[0, 1])
+    far = int(np.argmax(d0))
+    chain1 = simplify_chain(pts[:far + 1], tol)
+    chain2 = simplify_chain(np.vstack([pts[far:], pts[:1]]), tol)
+    out = np.vstack([chain1[:-1], chain2[:-1]])
+    return np.vstack([out, out[:1]]) if closed else out
+
+
+def buffer_convex(points: np.ndarray, dist: float, n_arc: int = 8) -> np.ndarray:
+    """Positive buffer of a point set as the convex hull of per-point
+    discs (approximated by n_arc-gon). Exact enough for the reference's
+    prefilter buffers (ROI dissolve+buffer, camera-cluster 125 m buffer) —
+    candidate-stage only; refinement stays exact."""
+    pts = np.asarray(points, dtype=np.float64).reshape(-1, 2)
+    ang = np.linspace(0, 2 * np.pi, n_arc, endpoint=False)
+    offs = np.stack([np.cos(ang), np.sin(ang)], axis=1) * dist
+    cloud = (pts[:, None, :] + offs[None, :, :]).reshape(-1, 2)
+    return convex_hull(cloud)
+
+
+def convex_hull(points: np.ndarray) -> np.ndarray:
+    """Andrew's monotone chain → CCW hull ring (m,2)."""
+    pts = np.unique(np.asarray(points, dtype=np.float64), axis=0)
+    if len(pts) <= 2:
+        return pts
+    order = np.lexsort((pts[:, 1], pts[:, 0]))
+    pts = pts[order]
+
+    def half(seq):
+        out: list[np.ndarray] = []
+        for p in seq:
+            while len(out) >= 2 and (
+                (out[-1][0] - out[-2][0]) * (p[1] - out[-2][1])
+                - (out[-1][1] - out[-2][1]) * (p[0] - out[-2][0])
+            ) <= 0:
+                out.pop()
+            out.append(p)
+        return out
+
+    lower = half(pts)
+    upper = half(pts[::-1])
+    return np.array(lower[:-1] + upper[:-1])
+
+
+# ---------------------------------------------------------------------------
+# Ray–triangle intersection (Möller–Trumbore, J9 general covering meshes)
+# ---------------------------------------------------------------------------
+
+def rays_triangles_first_hit(
+    starts: np.ndarray, dirs: np.ndarray,
+    tri0: np.ndarray, tri1: np.ndarray, tri2: np.ndarray,
+) -> tuple[np.ndarray, np.ndarray]:
+    """First-hit parameter t ≥ 0 of each ray against a (broadcast) triangle
+    soup. starts/dirs: (n,3); tri*: (m,3). Returns (t (n,), hit (n,) bool);
+    t = +inf where no hit. Vectorized n×m (soups are small covering meshes,
+    A9: ≤ N² grid cells)."""
+    eps = 1e-12
+    e1 = tri1 - tri0           # (m,3)
+    e2 = tri2 - tri0
+    n, m = len(starts), len(tri0)
+    d = dirs[:, None, :]       # (n,1,3)
+    p = np.cross(d, e2[None, :, :])                  # (n,m,3)
+    det = np.einsum("nmk,mk->nm", p, e1)
+    s = starts[:, None, :] - tri0[None, :, :]        # (n,m,3)
+    with np.errstate(divide="ignore", invalid="ignore"):
+        inv = np.where(np.abs(det) > eps, 1.0 / det, np.nan)
+        u = np.einsum("nmk,nmk->nm", p, s) * inv
+        q = np.cross(s, e1[None, :, :])
+        v = np.einsum("nmk,nk->nm", q, dirs) * inv
+        t = np.einsum("nmk,mk->nm", q, e2) * inv
+    ok = (np.abs(det) > eps) & (u >= -eps) & (v >= -eps) & (u + v <= 1 + eps) & (t >= eps)
+    t = np.where(ok, t, np.inf)
+    tmin = t.min(axis=1)
+    return tmin, np.isfinite(tmin)
+
+
+# ---------------------------------------------------------------------------
 # Triangle metrics (reference utils/numeric.py:271-327, X4)
 # ---------------------------------------------------------------------------
 

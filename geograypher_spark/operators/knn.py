@@ -36,13 +36,30 @@ def _ring_cells_col(x, y, res: int, k: int):
             .bitwiseOR(iy + dy + offset))))
 
 
+def auto_resolution(refs: DataFrame, x: str, y: str, target_per_cell: float = 4.0) -> int:
+    """Pick the grid resolution from reference density so a ring-1 search
+    sees ~9·target candidates: cell_size ≈ sqrt(area·target/n). One cheap
+    agg job; the distributed analog of KDTree balancing."""
+    import math
+
+    row = refs.agg(
+        F.min(x).alias("x0"), F.max(x).alias("x1"),
+        F.min(y).alias("y0"), F.max(y).alias("y1"),
+        F.count(F.lit(1)).alias("n")).collect()[0]
+    n = max(int(row["n"]), 1)
+    area = max((row["x1"] - row["x0"]) * (row["y1"] - row["y0"]), 1e-12)
+    cell = math.sqrt(area * target_per_cell / n)
+    res = int(round(math.log2(C.BASE / cell)))
+    return max(0, min(C.MAX_RES, res))
+
+
 def knn_join(
     queries: DataFrame,
     refs: DataFrame,
     query_id: str = "query_id",
     ref_id: str = "ref_id",
     k: int = 1,
-    res: int = 7,
+    res: int | None = None,
     dims: tuple[str, ...] = ("x", "y"),
     max_expansions: int = 6,
     broadcast_refs: bool = True,
@@ -51,11 +68,14 @@ def knn_join(
     the final expansion contains ≥k refs — each expansion doubles the ring
     radius, and a hit is only accepted once the ring guarantees no closer
     ref outside (dist ≤ ring_radius), so results equal the KDTree answer.
+    ``res=None`` auto-sizes cells from reference density.
     """
     q_dims = [f"_q_{d}" for d in dims]
     r_dims = [f"_r_{d}" for d in dims]
     q = queries.select(query_id, *[F.col(d).alias(a) for d, a in zip(dims, q_dims)])
     r = refs.select(ref_id, *[F.col(d).alias(a) for d, a in zip(dims, r_dims)])
+    if res is None:
+        res = auto_resolution(r, r_dims[0], r_dims[1], target_per_cell=max(4.0, 2.0 * k))
     r = r.withColumn("cell", C.cell_id_col(F.col(r_dims[0]), F.col(r_dims[1]), res))
     if broadcast_refs:
         r = F.broadcast(r)
@@ -64,46 +84,46 @@ def knn_join(
         (F.col(a) - F.col(b)) * (F.col(a) - F.col(b))
         for a, b in zip(q_dims, r_dims)))
 
-    results = None
-    residual = q
-    ring = 1
-    for _ in range(max_expansions):
-        if residual.isEmpty():
-            break
+    def ranked_candidates(res_df: DataFrame, ring: int) -> DataFrame:
         cand = (
-            residual.withColumn("cell", F.explode(
+            res_df.withColumn("cell", F.explode(
                 _ring_cells_col(F.col(q_dims[0]), F.col(q_dims[1]), res, ring)))
             .join(r, "cell")
             .withColumn("dist", dist_expr)
         )
+        w = Window.partitionBy(query_id).orderBy(F.asc("dist"), F.asc(ref_id))
+        return cand.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
+
+    results = None
+    residual = q.localCheckpoint()  # eager; keeps per-round plans shallow
+    n_residual = residual.count()
+    ring = 1
+    for _ in range(max_expansions):
+        if n_residual == 0:
+            break
+        ranked = ranked_candidates(residual, ring)
         # guarantee: accept only if the k-th distance fits inside the ring's
         # guaranteed-covered radius (ring * cell_size) — else re-expand
         guaranteed = ring * C.cell_size(res)
-        w = Window.partitionBy(query_id).orderBy(F.asc("dist"), F.asc(ref_id))
-        ranked = cand.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
         kth = ranked.groupBy(query_id).agg(
             F.max("dist").alias("_kth"), F.count("*").alias("_n"))
         done_ids = kth.filter(
             (F.col("_n") == k) & (F.col("_kth") <= F.lit(guaranteed))
-        ).select(query_id)
+        ).select(query_id).localCheckpoint()
         done = ranked.join(F.broadcast(done_ids), query_id, "left_semi").select(
             query_id, ref_id, "dist", "rank")
         results = done if results is None else results.unionByName(done)
-        residual = residual.join(F.broadcast(done_ids), query_id, "left_anti")
+        residual = residual.join(
+            F.broadcast(done_ids), query_id, "left_anti").localCheckpoint()
+        n_residual = residual.count()
         ring *= 2
     if results is None:
         results = q.limit(0).select(
             query_id, F.lit(None).cast("long").alias(ref_id),
             F.lit(None).cast("double").alias("dist"),
             F.lit(None).cast("int").alias("rank"))
-    if not residual.isEmpty():
+    if n_residual > 0:
         # final pass without the guarantee (best effort on sparse refs):
-        cand = (
-            residual.withColumn("cell", F.explode(
-                _ring_cells_col(F.col(q_dims[0]), F.col(q_dims[1]), res, ring)))
-            .join(r, "cell").withColumn("dist", dist_expr)
-        )
-        w = Window.partitionBy(query_id).orderBy(F.asc("dist"), F.asc(ref_id))
-        ranked = cand.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
+        ranked = ranked_candidates(residual, ring)
         results = results.unionByName(ranked.select(query_id, ref_id, "dist", "rank"))
     return results

@@ -85,6 +85,18 @@ def image_features(
     return media.filter(F.col("kind") == "image").mapInPandas(gen, schema=FEATURE_SCHEMA)
 
 
+def exif_lonlat(media: DataFrame) -> DataFrame:
+    """S7 analog: lon/lat from image metadata. Real EXIF decoding needs an
+    image library (absent here); ingest pipelines are expected to surface
+    GPS tags into the ``meta`` map — this extracts and types them
+    (reference ``utils/image.py:10-26``)."""
+    return media.select(
+        "media_ref",
+        F.element_at("meta", "exif_lon").cast("double").alias("lon"),
+        F.element_at("meta", "exif_lat").cast("double").alias("lat"),
+    ).filter(F.col("lon").isNotNull() & F.col("lat").isNotNull())
+
+
 FRAME_SCHEMA = T.StructType([
     T.StructField("media_ref", T.StringType()),
     T.StructField("frame_idx", T.IntegerType()),

@@ -128,6 +128,51 @@ def ray_proximity_edges(
     return edges
 
 
+def clip_rays_to_covering(
+    rays: DataFrame,
+    ceiling_tris: "np.ndarray", floor_tris: "np.ndarray",
+) -> DataFrame:
+    """J9 general case: clip each ray segment to its first hits on the
+    ceiling and floor covering meshes (Möller–Trumbore against broadcast
+    triangle soups, reference ``utils/geometric.py:144-254`` /
+    ``pv.multi_ray_trace``). Rays must hit BOTH surfaces to survive.
+
+    ceiling_tris/floor_tris: (m, 3, 3) arrays — small (A9 grid Delaunay),
+    shipped to executors via closure broadcast.
+    """
+    from pyspark.sql import types as T
+    from ..functions import geometry as geom
+
+    c0, c1, c2 = ceiling_tris[:, 0], ceiling_tris[:, 1], ceiling_tris[:, 2]
+    f0, f1, f2 = floor_tris[:, 0], floor_tris[:, 1], floor_tris[:, 2]
+    schema = T.StructType([
+        T.StructField("ray_id", T.LongType()),
+        T.StructField("camera_id", T.LongType()),
+        T.StructField("sx", T.DoubleType()), T.StructField("sy", T.DoubleType()),
+        T.StructField("sz", T.DoubleType()), T.StructField("ex", T.DoubleType()),
+        T.StructField("ey", T.DoubleType()), T.StructField("ez", T.DoubleType()),
+    ])
+
+    def clip(batches):
+        for pdf in batches:
+            s = pdf[["sx", "sy", "sz"]].to_numpy(np.float64)
+            e = pdf[["ex", "ey", "ez"]].to_numpy(np.float64)
+            d = e - s
+            t_top, hit_top = geom.rays_triangles_first_hit(s, d, c0, c1, c2)
+            t_bot, hit_bot = geom.rays_triangles_first_hit(s, d, f0, f1, f2)
+            keep = hit_top & hit_bot & (t_top <= 1) & (t_bot <= 1)
+            ns = s + d * np.nan_to_num(
+                np.where(np.isfinite(t_top), t_top, 0.0))[:, None]
+            ne = s + d * np.nan_to_num(
+                np.where(np.isfinite(t_bot), t_bot, 0.0))[:, None]
+            out = pdf.loc[keep, ["ray_id", "camera_id"]].copy()
+            out[["sx", "sy", "sz"]] = ns[keep]
+            out[["ex", "ey", "ez"]] = ne[keep]
+            yield out
+
+    return rays.mapInPandas(clip, schema=schema)
+
+
 # ---------------------------------------------------------------------------
 # Connected components (A12 stand-in, deterministic)
 # ---------------------------------------------------------------------------

@@ -85,7 +85,7 @@ def hyperplane_signature(
 
 def cosine_topk_lsh(
     embeddings: DataFrame, id_col: str = "vec_id", vec_col: str = "embedding",
-    k: int = 5, n_planes: int = 12, bands: int = 3, scale: int = 1000,
+    k: int = 5, n_planes: int = 24, bands: int = 4, scale: int = 1000,
 ) -> DataFrame:
     """Approximate top-k: hyperplane signature split into bands; vectors
     sharing any band bucket become candidates; exact quantized cosine

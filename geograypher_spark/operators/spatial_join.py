@@ -40,6 +40,35 @@ def with_cell(df: DataFrame, x: str = "x", y: str = "y", res: int = DEFAULT_RES,
     return df.withColumn(out, C.cell_id_col(F.col(x), F.col(y), res))
 
 
+def polygon_covering_cells_driver(
+    polygons: DataFrame, wkb_col: str = "geometry_wkb", res: int = DEFAULT_RES,
+    max_cells_per_polygon: int = 4096,
+) -> DataFrame:
+    """Driver-side covering for the BROADCAST path: the polygon side is by
+    definition small enough to broadcast, so collecting it is free and
+    avoids a 32-task python stage for a 3-row table."""
+    import pandas as pd
+
+    pdf = polygons.toPandas()
+    outs = []
+    for _, row in pdf.iterrows():
+        polys = geom.wkb_to_rings(bytes(row[wkb_col]))
+        xmin, ymin, xmax, ymax = geom.rings_bbox(polys)
+        cc = C.covering_cells_np(xmin, ymin, xmax, ymax, res,
+                                 max_cells=max_cells_per_polygon)
+        o = pd.DataFrame({"cell": cc})
+        for c in pdf.columns:
+            o[c] = [row[c]] * len(cc)
+        outs.append(o)
+    cover_pdf = pd.concat(outs) if outs else pd.DataFrame(
+        {"cell": pd.Series([], dtype="int64"),
+         **{c: pd.Series([], dtype=object) for c in pdf.columns}})
+    spark = polygons.sparkSession
+    schema = T.StructType(
+        [T.StructField("cell", T.LongType())] + list(polygons.schema.fields))
+    return spark.createDataFrame(cover_pdf, schema=schema).coalesce(1)
+
+
 def polygon_covering_cells(
     polygons: DataFrame, wkb_col: str = "geometry_wkb", res: int = DEFAULT_RES,
     max_cells_per_polygon: int = 4096,
@@ -176,12 +205,14 @@ def triangles_polygon_overlap(
         ),
     ))
     tri_cells = faces.withColumn("cell", F.explode(cells))
-    cover = polygon_covering_cells(polygons, res=res)
     if broadcast_covering and salt_factor is None:
+        cover = polygon_covering_cells_driver(polygons, res=res)
         cand = tri_cells.join(F.broadcast(cover), "cell")
     elif salt_factor:
+        cover = polygon_covering_cells(polygons, res=res)
         cand = salted_equi_join(tri_cells, cover, "cell", salt_factor)
     else:
+        cover = polygon_covering_cells(polygons, res=res)
         cand = tri_cells.join(cover, "cell")
     # a (face, polygon) pair can match in several cells → dedup before the
     # expensive refine (cheap: candidate set is already small)
@@ -208,12 +239,14 @@ def points_in_polygons(
     Output = point columns + polygon columns (minus wkb/cell plumbing).
     """
     pts = with_cell(points, x, y, res)
-    cover = polygon_covering_cells(polygons, res=res)
     if broadcast_covering and salt_factor is None:
+        cover = polygon_covering_cells_driver(polygons, res=res)
         cand = pts.join(F.broadcast(cover), "cell")
     elif salt_factor:
+        cover = polygon_covering_cells(polygons, res=res)
         cand = salted_equi_join(pts, cover, "cell", salt_factor)
     else:
+        cover = polygon_covering_cells(polygons, res=res)
         cand = pts.join(cover, "cell")
     refined = cand.filter(pip_udf(F.col(x), F.col(y), F.col("geometry_wkb")))
     return refined.drop("cell", "geometry_wkb")

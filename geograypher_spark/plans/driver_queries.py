@@ -67,18 +67,27 @@ _LSHAPE = [  # concave: 40x40 square minus its upper-right 20x20 quadrant
 
 
 def _rects_df(spark: SparkSession) -> DataFrame:
-    rows = []
-    for pid, xmin, ymin, xmax, ymax in _RECTS:
-        wkb = geom.polygon_to_wkb([np.array(
-            [[xmin, ymin], [xmax, ymin], [xmax, ymax], [xmin, ymax]])])
-        rows.append((pid, bytearray(wkb)))
-    return spark.createDataFrame(rows, "polygon_id long, geometry_wkb binary")
+    import pandas as pd
+
+    # pandas + Arrow path: no Python-worker RDD for tiny literal tables
+    pdf = pd.DataFrame({
+        "polygon_id": pd.Series([p[0] for p in _RECTS], dtype="int64"),
+        "geometry_wkb": [
+            geom.polygon_to_wkb([np.array(
+                [[xmin, ymin], [xmax, ymin], [xmax, ymax], [xmin, ymax]])])
+            for _, xmin, ymin, xmax, ymax in _RECTS],
+    })
+    return spark.createDataFrame(pdf)
 
 
 def _lshape_df(spark: SparkSession) -> DataFrame:
-    wkb = geom.polygon_to_wkb([np.array(_LSHAPE)])
-    return spark.createDataFrame([(1, bytearray(wkb))],
-                                 "polygon_id long, geometry_wkb binary")
+    import pandas as pd
+
+    pdf = pd.DataFrame({
+        "polygon_id": pd.Series([1], dtype="int64"),
+        "geometry_wkb": [geom.polygon_to_wkb([np.array(_LSHAPE)])],
+    })
+    return spark.createDataFrame(pdf)
 
 
 def _rects_oracle_pred(alias_x: str, alias_y: str) -> str:
@@ -245,7 +254,7 @@ def q_knn(spark, sf_dir):
     r = _t(spark, sf_dir, "customer").select(
         F.col("c_custkey").alias("ref_id"),
         _pt_x("c_custkey").alias("x"), _pt_y("c_custkey").alias("y"))
-    return KNN.knn_join(q, r, k=1, res=4).select("query_id", "ref_id")
+    return KNN.knn_join(q, r, k=1).select("query_id", "ref_id")
 
 
 SQL_KNN = f"""

@@ -51,6 +51,7 @@ def get_spark(
         n = os.cpu_count() or 8
         shuffle_partitions = min(64, max(8, n))
     conf["spark.sql.shuffle.partitions"] = str(shuffle_partitions)
+    conf["spark.sql.execution.arrow.maxRecordsPerBatch"] = "65536"
     if extra_conf:
         conf.update(extra_conf)
     for k, v in conf.items():
