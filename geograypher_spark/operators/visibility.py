@@ -73,7 +73,8 @@ def rasterize_zbuffer(
         if not inside.any():
             continue
         inv_z = l0 / tri_z[t, 0] + l1 / tri_z[t, 1] + l2 / tri_z[t, 2]
-        depth = 1.0 / inv_z
+        with np.errstate(divide="ignore"):
+            depth = 1.0 / inv_z  # inf outside the triangle — never wins
         rows = gy[inside].astype(np.int64)  # gy holds r+0.5
         cols = gx[inside].astype(np.int64)
         dsel = depth[inside]

@@ -1,0 +1,97 @@
+"""Compute-dominated workload for the N vs 4N scaling benchmark.
+
+The contract-correctness queries at sf0.1 finish in seconds — dominated by
+fixed scheduling/session overhead, which no parallelism can speed up
+(Amdahl floor, not a property of the engine). The scaling criterion is
+about whether the ENGINE's operators parallelize, so this workload scales
+the per-row compute up until it dominates, the same way a 100 TB run
+would: many independent z-buffer renders, quadratic ANN re-rank, wide PIP
+refinement. All deterministic → byte-identical outputs across parallelism
+levels (verified by the harness).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+from pyspark.sql import functions as F
+
+
+def sq_visibility_big(spark, sf_dir):
+    """64 cameras × ~11k faces × 360² px software z-buffer — 64 independent
+    heavy applyInPandas groups."""
+    from ..sources.scene import make_scene, scene_to_spark
+    from ..operators.visibility import visibility_join
+
+    scene = make_scene(seed=42, camera_grid=8, ground_grid=52,
+                       image_size=360, n_boxes=6, n_cylinders=6, n_cones=4)
+    verts, faces, polys, cams = scene_to_spark(spark, scene)
+    return visibility_join(cams.repartition(64, "camera_id"), faces)
+
+
+def sq_ann_bruteforce(spark, sf_dir):
+    """Quadratic integer-cosine re-rank at sf embeddings (25M pairs at
+    sf0.1) — pure JVM higher-order-function compute, shuffle-parallel."""
+    from ..operators.similarity import cosine_topk_bruteforce
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    return cosine_topk_bruteforce(emb, k=3).select(
+        "vec_id", "neighbor_id", F.col("rank").cast("long").alias("rank"))
+
+
+def sq_pip_wide(spark, sf_dir):
+    """PIP refinement over a 64-polygon grid — every lineitem point tests
+    against its covering candidates with the exact winding kernel."""
+    from ..functions import geometry as geom
+    from ..operators.spatial_join import points_in_polygons
+    import pandas as pd
+
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    pts = li.select(
+        (F.col("l_orderkey") * 10 + F.col("l_linenumber")).alias("point_id"),
+        ((F.col("l_orderkey") * 7919 % 10000) / F.lit(100.0)).alias("x"),
+        ((F.col("l_partkey") * 104729 % 10000) / F.lit(100.0)).alias("y"))
+    # 8x8 grid of 16-gon polygons (heavier rings than rectangles)
+    rows = []
+    pid = 0
+    ang = np.linspace(0, 2 * np.pi, 16, endpoint=False)
+    for gi in range(8):
+        for gj in range(8):
+            cx, cy = 6.25 + gi * 12.5, 6.25 + gj * 12.5
+            ring = np.stack([cx + 5.8 * np.cos(ang), cy + 5.8 * np.sin(ang)], 1)
+            rows.append((pid, geom.polygon_to_wkb([ring])))
+            pid += 1
+    polys = spark.createDataFrame(
+        pd.DataFrame(rows, columns=["polygon_id", "geometry_wkb"]))
+    joined = points_in_polygons(pts, polys)
+    return joined.groupBy("polygon_id").agg(
+        F.count(F.lit(1)).alias("n_points")).orderBy("polygon_id")
+
+
+def sq_ray_edges_dense(spark, sf_dir):
+    """Dense ray proximity graph: 20k segments derived from lineitem —
+    candidate pairs + vectorized segment-distance kernel."""
+    from ..operators.raytri import ray_proximity_edges
+
+    # deterministic ~1/30 subsample (limit() is partitioning-dependent and
+    # would break the identical-output check across parallelism levels)
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet").filter(
+        F.col("l_orderkey") % 30 == 0)
+    rays = li.select(
+        (F.col("l_orderkey") * 10 + F.col("l_linenumber")).alias("ray_id"),
+        (F.col("l_suppkey") % 50).cast("long").alias("camera_id"),
+        ((F.col("l_orderkey") * 7919 % 10000) / F.lit(100.0)).alias("sx"),
+        ((F.col("l_partkey") * 104729 % 10000) / F.lit(100.0)).alias("sy"),
+        F.lit(0.0).alias("sz"),
+        ((F.col("l_orderkey") * 7919 % 10000) / F.lit(100.0) + F.lit(0.3)).alias("ex"),
+        ((F.col("l_partkey") * 104729 % 10000) / F.lit(100.0) + F.lit(0.3)).alias("ey"),
+        F.lit(2.0).alias("ez"))
+    return ray_proximity_edges(rays, tau=0.5).groupBy("src").agg(
+        F.count(F.lit(1)).alias("n_edges"))
+
+
+SCALE_QUERIES = {
+    "visibility_big": sq_visibility_big,
+    "ann_bruteforce": sq_ann_bruteforce,
+    "pip_wide": sq_pip_wide,
+    "ray_edges_dense": sq_ray_edges_dense,
+}
