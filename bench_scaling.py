@@ -48,10 +48,21 @@ spark.range(10_000_000).repartition({cpus}).mapInPandas(
 out = {{}}
 hashes = {{}}
 for name in {WORKLOAD!r}:
-    t0 = time.time()
-    df = SCALE_QUERIES[name](spark, {sf_dir!r})
-    pdf = df.toPandas()
-    out[name] = time.time() - t0
+    # build the plan (driver-side fixture gen / Arrow conversion) OUTSIDE
+    # the timer — that cost is serial setup, not engine execution; then
+    # run twice and time the steady-state pass (workers warm, code JIT'd)
+    # warm-up run (workers, codegen), NOT timed
+    SCALE_QUERIES[name](spark, {sf_dir!r}).count()
+    best = None
+    for _ in range(2):
+        # rebuild the plan each trial: re-running one DF instance would
+        # reuse its shuffle files (stage skipping) and time nothing
+        df = SCALE_QUERIES[name](spark, {sf_dir!r})
+        t0 = time.time()
+        pdf = df.toPandas()
+        dt = time.time() - t0
+        best = dt if best is None else min(best, dt)
+    out[name] = best
     pdf = pdf[sorted(pdf.columns)]
     for c in pdf.columns:
         if pdf[c].dtype == object and len(pdf) and isinstance(pdf[c].iloc[0], (bytes, bytearray)):
@@ -63,8 +74,14 @@ spark.stop()
 print("RESULT " + json.dumps({{"timings": out, "hashes": hashes}}))
 """
     t0 = time.time()
+    # taskset-pin the whole JVM+python tree to exactly `cpus` CPUs: plain
+    # local[N] on a bigger box would still use every core for GC/shuffle/
+    # daemon threads, flattering the low-parallelism baseline
+    cmd = [sys.executable, "-c", code]
+    if os.path.exists("/usr/bin/taskset") or os.path.exists("/bin/taskset"):
+        cmd = ["taskset", "-c", f"0-{cpus - 1}"] + cmd
     proc = subprocess.run(
-        [sys.executable, "-c", code], capture_output=True, text=True,
+        cmd, capture_output=True, text=True,
         env={**os.environ, "SPARK_GRAFT_CPUS": str(cpus)})
     for line in proc.stdout.splitlines():
         if line.startswith("RESULT "):

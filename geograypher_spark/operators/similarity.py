@@ -14,6 +14,8 @@ Python in the hot path).
 
 from __future__ import annotations
 
+import numpy as np
+import pandas as pd
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
@@ -47,8 +49,12 @@ def cosine_topk_bruteforce(
     baseline only; use ``cosine_topk_lsh`` beyond ~10⁵ vectors."""
     q = embeddings.select(
         F.col(id_col).alias("vec_id"), quantized(F.col(vec_col), scale).alias("qv"))
-    a = q.select(F.col("vec_id"), F.col("qv").alias("qa"),
-                 _norm2(F.col("qv")).alias("na"))
+    # the cross join's parallelism = left-side partitions (right side is
+    # broadcast); small single-file scans would otherwise run 1-3 tasks
+    par = embeddings.sparkSession.sparkContext.defaultParallelism
+    a = q.repartition(max(par * 2, 8)).select(
+        F.col("vec_id"), F.col("qv").alias("qa"),
+        _norm2(F.col("qv")).alias("na"))
     b = q.select(F.col("vec_id").alias("neighbor_id"), F.col("qv").alias("qb"),
                  _norm2(F.col("qv")).alias("nb"))
     pairs = a.crossJoin(b).filter(F.col("vec_id") != F.col("neighbor_id"))
@@ -63,23 +69,26 @@ def cosine_topk_bruteforce(
     )
 
 
-def hyperplane_signature(
-    vec: Column, n_planes: int = 16, dim: int = 64,
-) -> Column:
-    """Deterministic random-hyperplane LSH signature (int): bit j =
-    sign(dot(vec, plane_j)) where plane_j components ∈ {−1, +1} come from
-    xxhash64(j, i) parity — no stored planes, any executor regenerates
-    them. Cosine-similar vectors share bits w.h.p. (Charikar 2002)."""
-    sig = F.lit(0).cast("long")
-    for j in range(n_planes):
-        comps = F.transform(
-            vec,
-            lambda x, i: F.when(
-                F.xxhash64(F.lit(j), i).bitwiseAND(F.lit(1)) == 1, x).otherwise(-x))
-        dot = F.aggregate(comps, F.lit(0.0), lambda acc, v: acc + v)
-        sig = sig.bitwiseOR(
-            F.when(dot > 0, F.shiftleft(F.lit(1).cast("long"), j))
-            .otherwise(F.lit(0).cast("long")))
+def hyperplane_signature_udf(n_planes: int = 16, seed: int = 42):
+    """Deterministic random-hyperplane LSH signature: bit j =
+    sign(dot(vec, plane_j)), planes from a seeded Gaussian — regenerated
+    identically on every executor from the closure (no stored state).
+    One Arrow batch → one matmul (Charikar 2002 signatures at memory
+    bandwidth, not per-element expression evaluation)."""
+    from pyspark.sql import types as T
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf(T.LongType())
+    def sig(vec: pd.Series) -> pd.Series:
+        if len(vec) == 0:
+            return pd.Series([], dtype="int64")
+        M = np.stack(vec.to_numpy())            # (n, dim)
+        rng = np.random.default_rng(seed)
+        planes = rng.standard_normal((M.shape[1], n_planes))
+        bits = (M.astype(np.float64) @ planes) > 0   # (n, n_planes)
+        weights = (1 << np.arange(n_planes, dtype=np.int64))
+        return pd.Series(bits.astype(np.int64) @ weights)
+
     return sig
 
 
@@ -91,10 +100,12 @@ def cosine_topk_lsh(
     sharing any band bucket become candidates; exact quantized cosine
     re-rank inside candidates. Recall tunes with n_planes/bands."""
     rows = n_planes // bands
-    base = embeddings.select(
+    sig_udf = hyperplane_signature_udf(n_planes)
+    par = embeddings.sparkSession.sparkContext.defaultParallelism
+    base = embeddings.repartition(max(par * 2, 8)).select(
         F.col(id_col).alias("vec_id"),
         quantized(F.col(vec_col), scale).alias("qv"),
-        hyperplane_signature(F.col(vec_col).cast("array<double>"), n_planes).alias("sig"),
+        sig_udf(F.col(vec_col)).alias("sig"),
     ).withColumn("n2", _norm2(F.col("qv")))
     stacked = None
     for b in range(bands):

@@ -84,22 +84,25 @@ def rasterize_zbuffer(
     return img_face
 
 
-def _render_group(pdf: pd.DataFrame, scale: float) -> np.ndarray:
-    """Shared per-camera render: returns the (h, w) face-id image."""
+def _render_group(pdf: pd.DataFrame, cam_params: dict, scale: float) -> np.ndarray:
+    """Shared per-camera render: returns the (h, w) face-id image.
+
+    ``cam_params`` comes from the broadcast camera map — candidate rows
+    carry ONLY (camera_id, face_id, 9 coords); shipping the 4×4 transform
+    on every row through the shuffle costs ~2.5× the bytes for nothing.
+    """
     # deterministic z-tie resolution: rasterize in face_id order regardless
     # of shuffle-dependent group row order
     pdf = pdf.sort_values("face_id")
-    r0 = pdf.iloc[0]
-    c2w = np.asarray(r0["cam_to_world"], dtype=np.float64).reshape(4, 4)
-    f, cx, cy = float(r0["f"]), float(r0["cx"]), float(r0["cy"])
-    w, h = int(r0["w"]), int(r0["h"])
+    c2w = np.asarray(cam_params["cam_to_world"], dtype=np.float64).reshape(4, 4)
+    f, cx, cy = float(cam_params["f"]), float(cam_params["cx"]), float(cam_params["cy"])
+    w, h = int(cam_params["w"]), int(cam_params["h"])
     if scale != 1.0:
         f, cx, cy = f * scale, cx * scale, cy * scale
         w, h = int(round(w * scale)), int(round(h * scale))
     coords = pdf[FACE_COORD_COLS].to_numpy(dtype=np.float64)
     n = len(coords)
-    pts = coords.reshape(n * 3, 3)  # v0, v1, v2 interleaved per row? no:
-    # coords row = [x0,y0,z0,x1,y1,z1,x2,y2,z2] → reshape (n,3,3)
+    # coords row = [x0,y0,z0,x1,y1,z1,x2,y2,z2] → (n*3, 3) points
     pts = coords.reshape(n, 3, 3).reshape(n * 3, 3)
     px, py, z = cam.project_points(pts, c2w, f, cx, cy, w, h)
     tri_px = np.stack([px, py], axis=1).reshape(n, 3, 2)
@@ -186,7 +189,9 @@ def candidate_camera_faces(
         cand = salted_equi_join(face_cells, cam_cells, "cell", salt_factor)
     else:
         cand = face_cells.join(cam_cells, "cell")
-    return cand.drop("cell").dropDuplicates(["camera_id", "face_id"])
+    # pairs are unique by construction: each face keys on ONE centroid cell
+    # and a camera's covering cells are distinct — no dedup shuffle needed
+    return cand.drop("cell")
 
 
 # ---------------------------------------------------------------------------
@@ -200,6 +205,19 @@ VISIBILITY_SCHEMA = T.StructType([
 ])
 
 
+_CAM_PARAM_KEYS = ("cam_to_world", "f", "cx", "cy", "w", "h")
+
+
+def _broadcast_cameras(cameras: DataFrame):
+    """Camera params as a broadcast dict {camera_id: params}. The camera
+    table is the small side of the visibility join by design (thousands of
+    rows vs billions of faces); candidate rows then carry only ids+coords."""
+    rows = cameras.select("camera_id", *_CAM_PARAM_KEYS).collect()
+    cam_map = {
+        int(r["camera_id"]): {k: r[k] for k in _CAM_PARAM_KEYS} for r in rows}
+    return cameras.sparkSession.sparkContext.broadcast(cam_map)
+
+
 def visibility_join(
     cameras: DataFrame, faces: DataFrame,
     res: int = 4, scale: float = 1.0,
@@ -209,10 +227,12 @@ def visibility_join(
     pixels whose first hit is each face (pixel_count > 0 only). The
     engine's pix2face analog, aggregated (SURVEY §1.1 'pix2face map')."""
     cand = candidate_camera_faces(
-        cameras, faces, res=res, salt_factor=salt_factor)
+        cameras, faces, res=res, salt_factor=salt_factor
+    ).select("camera_id", "face_id", *FACE_COORD_COLS)
+    bc = _broadcast_cameras(cameras)
 
     def agg(key, pdf: pd.DataFrame) -> pd.DataFrame:
-        img = _render_group(pdf, scale)
+        img = _render_group(pdf, bc.value[int(key[0])], scale)
         hit = img[img >= 0]
         if len(hit) == 0:
             return pd.DataFrame({"camera_id": pd.Series([], dtype="int64"),
@@ -225,7 +245,7 @@ def visibility_join(
             "pixel_count": counts.astype(np.int64),
         })
 
-    return cand.repartition("camera_id").groupBy("camera_id").applyInPandas(
+    return cand.groupBy("camera_id").applyInPandas(
         agg, schema=VISIBILITY_SCHEMA)
 
 
@@ -235,7 +255,9 @@ def render_face_images(
 ) -> DataFrame:
     """→ (camera_id, w, h, face_image:binary): full pix2face images as
     int64-LE bytes — feeds the render sink (S12) / label-mask export."""
-    cand = candidate_camera_faces(cameras, faces, res=res)
+    cand = candidate_camera_faces(cameras, faces, res=res).select(
+        "camera_id", "face_id", *FACE_COORD_COLS)
+    bc = _broadcast_cameras(cameras)
     schema = T.StructType([
         T.StructField("camera_id", T.LongType()),
         T.StructField("w", T.IntegerType()),
@@ -244,12 +266,11 @@ def render_face_images(
     ])
 
     def agg(key, pdf: pd.DataFrame) -> pd.DataFrame:
-        img = _render_group(pdf, scale)
+        img = _render_group(pdf, bc.value[int(key[0])], scale)
         return pd.DataFrame({
             "camera_id": [key[0]],
             "w": [img.shape[1]], "h": [img.shape[0]],
             "face_image": [img.astype("<i8").tobytes()],
         })
 
-    return cand.repartition("camera_id").groupBy("camera_id").applyInPandas(
-        agg, schema=schema)
+    return cand.groupBy("camera_id").applyInPandas(agg, schema=schema)

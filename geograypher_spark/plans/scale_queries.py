@@ -17,15 +17,21 @@ from pyspark.sql import functions as F
 
 
 def sq_visibility_big(spark, sf_dir):
-    """64 cameras × ~11k faces × 360² px software z-buffer — 64 independent
-    heavy applyInPandas groups."""
+    """256 cameras × thousands of faces × 600² px software z-buffer — a few
+    hundred independent heavy applyInPandas groups (plentiful tasks →
+    stragglers amortize at any parallelism)."""
     from ..sources.scene import make_scene, scene_to_spark
     from ..operators.visibility import visibility_join
 
-    scene = make_scene(seed=42, camera_grid=8, ground_grid=52,
-                       image_size=360, n_boxes=6, n_cylinders=6, n_cones=4)
+    # focal scaled with image so the mesh footprint fills the frame —
+    # real per-pixel rasterization load, not just per-face loop overhead;
+    # 576 cameras ≈ 70 s of kernel CPU — the shuffle/IPC floor (~3 s)
+    # becomes noise, so the measurement reflects operator parallelism
+    scene = make_scene(seed=42, camera_grid=24, ground_grid=60,
+                       image_size=720, focal=800.0,
+                       n_boxes=6, n_cylinders=6, n_cones=4)
     verts, faces, polys, cams = scene_to_spark(spark, scene)
-    return visibility_join(cams.repartition(64, "camera_id"), faces)
+    return visibility_join(cams, faces)
 
 
 def sq_ann_bruteforce(spark, sf_dir):
@@ -46,7 +52,10 @@ def sq_pip_wide(spark, sf_dir):
     import pandas as pd
 
     li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
-    pts = li.select(
+    par = spark.sparkContext.defaultParallelism
+    # ×8 deterministic replication: ~5M points through the exact PIP kernel
+    pts = li.repartition(max(par * 2, 8)).select(
+        F.explode(F.sequence(F.lit(1), F.lit(8))).alias("rep"),
         (F.col("l_orderkey") * 10 + F.col("l_linenumber")).alias("point_id"),
         ((F.col("l_orderkey") * 7919 % 10000) / F.lit(100.0)).alias("x"),
         ((F.col("l_partkey") * 104729 % 10000) / F.lit(100.0)).alias("y"))
@@ -72,10 +81,10 @@ def sq_ray_edges_dense(spark, sf_dir):
     candidate pairs + vectorized segment-distance kernel."""
     from ..operators.raytri import ray_proximity_edges
 
-    # deterministic ~1/30 subsample (limit() is partitioning-dependent and
+    # deterministic ~1/6 subsample (limit() is partitioning-dependent and
     # would break the identical-output check across parallelism levels)
     li = spark.read.parquet(f"{sf_dir}/lineitem.parquet").filter(
-        F.col("l_orderkey") % 30 == 0)
+        F.col("l_orderkey") % 6 == 0)
     rays = li.select(
         (F.col("l_orderkey") * 10 + F.col("l_linenumber")).alias("ray_id"),
         (F.col("l_suppkey") % 50).cast("long").alias("camera_id"),
