@@ -83,12 +83,47 @@ def _pair_distance_udf():
     return seg_dist
 
 
+def _seg_dist_cols() -> "F.Column":
+    """Segment–segment closest distance as PURE column expressions
+    (Eberly formulation, same algebra as ``camera.segment_pair_closest``).
+    Runs inside whole-stage codegen — no Arrow transfer of the candidate
+    set, which at 10⁶+ candidates/partition is the dominant cost of the
+    pandas-kernel variant."""
+    def dot(u, v):
+        return u[0] * v[0] + u[1] * v[1] + u[2] * v[2]
+
+    a0 = [F.col("a_sx"), F.col("a_sy"), F.col("a_sz")]
+    a1 = [F.col("a_ex"), F.col("a_ey"), F.col("a_ez")]
+    b0 = [F.col("b_sx"), F.col("b_sy"), F.col("b_sz")]
+    b1 = [F.col("b_ex"), F.col("b_ey"), F.col("b_ez")]
+    d1 = [x - y for x, y in zip(a1, a0)]
+    d2 = [x - y for x, y in zip(b1, b0)]
+    r = [x - y for x, y in zip(a0, b0)]
+    aa = dot(d1, d1); ee = dot(d2, d2)
+    ff = dot(d2, r); cc = dot(d1, r); bb = dot(d1, d2)
+    denom = aa * ee - bb * bb
+    lit0, lit1 = F.lit(0.0), F.lit(1.0)
+    clamp01 = lambda c: F.least(lit1, F.greatest(lit0, c))
+    s = clamp01(F.when(denom > 1e-14 * aa * ee + 1e-300,
+                       (bb * ff - cc * ee) / denom).otherwise(lit0))
+    t_raw = F.when(ee > 0, (bb * s + ff) / ee).otherwise(lit0)
+    t = clamp01(t_raw)
+    s = F.when(t_raw != t,
+               clamp01(F.when(aa > 0, (t * bb - cc) / aa).otherwise(lit0))
+               ).otherwise(s)
+    pa = [x + d * s for x, d in zip(a0, d1)]
+    pb = [x + d * t for x, d in zip(b0, d2)]
+    diff = [x - y for x, y in zip(pa, pb)]
+    return F.sqrt(dot(diff, diff))
+
+
 def ray_proximity_edges(
     rays: DataFrame,
     tau: float,
     res: int | None = None,
     min_dist: float = 1e-8,
     cross_camera_only: bool = True,
+    use_jvm_kernel: bool = True,
 ) -> DataFrame:
     """→ (src, dst, weight, dist): sparse proximity graph over segments.
 
@@ -112,11 +147,17 @@ def ray_proximity_edges(
     cond = [a["cell"] == b["cell"], a["ray_a"] < b["ray_b"]]
     if cross_camera_only:
         cond.append(a["cam_a"] != b["cam_b"])
-    cand = a.join(b, cond).drop("cell").dropDuplicates(["ray_a", "ray_b"])
-    seg_dist = _pair_distance_udf()
-    dist = seg_dist(
-        "a_sx", "a_sy", "a_sz", "a_ex", "a_ey", "a_ez",
-        "b_sx", "b_sy", "b_sz", "b_ex", "b_ey", "b_ez")
+    cand = a.join(b, cond).drop("cell")
+    if use_jvm_kernel:
+        dist = _seg_dist_cols()
+    else:
+        seg_dist = _pair_distance_udf()
+        dist = seg_dist(
+            "a_sx", "a_sy", "a_sz", "a_ex", "a_ey", "a_ez",
+            "b_sx", "b_sy", "b_sz", "b_ex", "b_ey", "b_ez")
+    # multi-cell pairs compute the same distance more than once (narrow,
+    # cheap); dedup AFTER the tau filter so the shuffle moves only the
+    # sparse edge set, not every wide candidate row
     edges = (
         cand.withColumn("dist", dist)
         .filter(F.col("dist") <= tau)
@@ -124,6 +165,7 @@ def ray_proximity_edges(
             F.col("ray_a").alias("src"), F.col("ray_b").alias("dst"),
             (F.lit(1.0) / F.greatest(F.col("dist"), F.lit(min_dist))).alias("weight"),
             "dist")
+        .dropDuplicates(["src", "dst"])
     )
     return edges
 

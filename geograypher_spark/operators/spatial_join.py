@@ -233,15 +233,40 @@ def points_in_polygons(
     res: int = DEFAULT_RES,
     broadcast_covering: bool = True,
     salt_factor: int | None = None,
+    polygon_id_col: str = "polygon_id",
 ) -> DataFrame:
     """Inner join: each point row × each polygon containing it.
 
     Output = point columns + polygon columns (minus wkb/cell plumbing).
+
+    Broadcast path ships polygon geometry to executors ONCE as a
+    {polygon_id: wkb} broadcast dict — candidate rows carry only the id,
+    not a duplicated WKB blob per row (10-100× less Arrow traffic at
+    scale). Salted/shuffle paths keep the wkb column (the polygon side is
+    too big to broadcast there by definition).
     """
     pts = with_cell(points, x, y, res)
     if broadcast_covering and salt_factor is None:
         cover = polygon_covering_cells_driver(polygons, res=res)
-        cand = pts.join(F.broadcast(cover), "cell")
+        wkb_map = {row[0]: bytes(row[1]) for row in
+                   polygons.select(polygon_id_col, "geometry_wkb").collect()}
+        bc = points.sparkSession.sparkContext.broadcast(wkb_map)
+        cand = pts.join(
+            F.broadcast(cover.drop("geometry_wkb")), "cell")
+
+        @pandas_udf(T.BooleanType())
+        def pip_by_id(xs: pd.Series, ys: pd.Series, pids: pd.Series) -> pd.Series:
+            out = np.zeros(len(xs), dtype=bool)
+            xv = xs.to_numpy(dtype=np.float64)
+            yv = ys.to_numpy(dtype=np.float64)
+            codes, uniques = pd.factorize(pids)
+            for u_idx, pid in enumerate(uniques):
+                m = codes == u_idx
+                out[m] = geom.points_in_wkb(xv[m], yv[m], bc.value[pid])
+            return pd.Series(out)
+
+        refined = cand.filter(pip_by_id(F.col(x), F.col(y), F.col(polygon_id_col)))
+        return refined.drop("cell")
     elif salt_factor:
         cover = polygon_covering_cells(polygons, res=res)
         cand = salted_equi_join(pts, cover, "cell", salt_factor)

@@ -35,12 +35,16 @@ def sq_visibility_big(spark, sf_dir):
 
 
 def sq_ann_bruteforce(spark, sf_dir):
-    """Quadratic integer-cosine re-rank at sf embeddings (25M pairs at
-    sf0.1) — pure JVM higher-order-function compute, shuffle-parallel."""
+    """Quadratic integer-cosine re-rank — pure JVM higher-order-function
+    compute, shuffle-parallel. Embeddings deterministically doubled
+    (~100M pairs at sf0.1) so compute dwarfs the job-overhead floor."""
     from ..operators.similarity import cosine_topk_bruteforce
 
     emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
-    return cosine_topk_bruteforce(emb, k=3).select(
+    emb2 = emb.union(emb.select(
+        (F.col("vec_id") + 10_000_000).alias("vec_id"),
+        F.reverse("embedding").alias("embedding"), "label"))
+    return cosine_topk_bruteforce(emb2, k=3).select(
         "vec_id", "neighbor_id", F.col("rank").cast("long").alias("rank"))
 
 
@@ -53,9 +57,9 @@ def sq_pip_wide(spark, sf_dir):
 
     li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
     par = spark.sparkContext.defaultParallelism
-    # ×8 deterministic replication: ~5M points through the exact PIP kernel
+    # ×32 deterministic replication: ~20M points through the exact PIP kernel
     pts = li.repartition(max(par * 2, 8)).select(
-        F.explode(F.sequence(F.lit(1), F.lit(8))).alias("rep"),
+        F.explode(F.sequence(F.lit(1), F.lit(32))).alias("rep"),
         (F.col("l_orderkey") * 10 + F.col("l_linenumber")).alias("point_id"),
         ((F.col("l_orderkey") * 7919 % 10000) / F.lit(100.0)).alias("x"),
         ((F.col("l_partkey") * 104729 % 10000) / F.lit(100.0)).alias("y"))
