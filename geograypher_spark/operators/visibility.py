@@ -165,6 +165,51 @@ def camera_footprint_cells(
     return cameras.mapInPandas(gen, schema=schema)
 
 
+def camera_footprint_cells_driver(
+    cameras: DataFrame, z_min: float, z_max: float,
+    res: int, max_cells: int = 4096,
+) -> DataFrame:
+    """Driver-side footprint covering for the BROADCAST path: the camera
+    table is the broadcast side by definition (it's also collected for the
+    render params), so covering it locally removes a python mapInPandas
+    stage from every downstream action."""
+    rows = cameras.collect()
+    out = {"cell": [], **{c: [] for c in cameras.columns}}
+    for row in rows:
+        c2w = np.asarray(row["cam_to_world"], dtype=np.float64).reshape(4, 4)
+        w, h = int(row["w"]), int(row["h"])
+        corners_x = np.array([0.0, w, 0.0, w])
+        corners_y = np.array([0.0, 0.0, h, h])
+        starts, ends = cam.cast_rays(
+            corners_x, corners_y, c2w,
+            float(row["f"]), float(row["cx"]), float(row["cy"]), w, h)
+        d = ends - starts
+        pts = []
+        for zp in (z_min, z_max):
+            dz = d[:, 2]
+            with np.errstate(divide="ignore", invalid="ignore"):
+                t = (zp - starts[:, 2]) / np.where(dz == 0, np.nan, dz)
+            hit = starts + d * np.nan_to_num(t, nan=0.0)[:, None]
+            valid = np.isfinite(t) & (t > 0)
+            if valid.any():
+                pts.append(hit[valid][:, :2])
+        if not pts:
+            continue
+        xy = np.vstack(pts)
+        cc = C.covering_cells_np(
+            float(xy[:, 0].min()), float(xy[:, 1].min()),
+            float(xy[:, 0].max()), float(xy[:, 1].max()),
+            res, max_cells=max_cells)
+        for cell in cc:
+            out["cell"].append(int(cell))
+            for c in cameras.columns:
+                out[c].append(row[c])
+    spark = cameras.sparkSession
+    schema = T.StructType(
+        [T.StructField("cell", T.LongType())] + list(cameras.schema.fields))
+    return spark.createDataFrame(pd.DataFrame(out), schema=schema).coalesce(1)
+
+
 def candidate_camera_faces(
     cameras: DataFrame, faces: DataFrame, res: int = 4,
     broadcast_cameras: bool = True, salt_factor: int | None = None,
@@ -175,8 +220,12 @@ def candidate_camera_faces(
         F.min(F.least("z0", "z1", "z2")).alias("zmin"),
         F.max(F.greatest("z0", "z1", "z2")).alias("zmax"),
     ).collect()[0]
-    cam_cells = camera_footprint_cells(
-        cameras, float(zstats["zmin"]), float(zstats["zmax"]), res)
+    if broadcast_cameras and salt_factor is None:
+        cam_cells = camera_footprint_cells_driver(
+            cameras, float(zstats["zmin"]), float(zstats["zmax"]), res)
+    else:
+        cam_cells = camera_footprint_cells(
+            cameras, float(zstats["zmin"]), float(zstats["zmax"]), res)
     # face centroid cx/cy collides with the camera principal point cx/cy —
     # the centroid is only needed for the cell key, so drop it after encoding
     face_cells = faces.withColumn(
