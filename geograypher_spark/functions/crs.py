@@ -17,6 +17,7 @@ to < 1e-8 m (ECEF) and < 1e-6 m (UTM).
 from __future__ import annotations
 
 import numpy as np
+import pandas as pd  # module-level so pandas_udf string type hints resolve
 
 # WGS84
 _A = 6378137.0
@@ -155,7 +156,7 @@ def swap_axis_order(x: np.ndarray, y: np.ndarray, swap: bool) -> tuple[np.ndarra
 
 def register_udfs():
     """Build the pandas UDF wrappers lazily (needs an active session)."""
-    import pandas as pd
+
     from pyspark.sql import types as T
     from pyspark.sql.functions import pandas_udf
 

@@ -690,6 +690,17 @@ def q_rasterize_scene(spark, sf_dir):
         faces.filter(F.col("class_id").isNotNull()), grid)
 
 
+def q_forward_pipeline(spark, sf_dir):
+    """The aggregate_images entrypoint end-to-end on the scene: visibility
+    z-buffer → LookUp segmentation → per-face weighted argmax."""
+    from ..plans.pipelines import forward_pipeline
+
+    verts, faces, polys, cams = _scene(spark)
+    truth = faces.select("face_id", "class_id").filter(
+        F.col("class_id").isNotNull())
+    return forward_pipeline(spark, cams, faces, verts, truth)
+
+
 def q_multimodal_features(spark, sf_dir):
     """Multimodal plumbing: stub decode → pooled features (deterministic)."""
     from ..operators import multimodal as MM
@@ -740,6 +751,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "ann_lsh": q_ann_lsh,
     "rasterize_scene": q_rasterize_scene,
     "multimodal_features": q_multimodal_features,
+    "forward_pipeline": q_forward_pipeline,
 }
 
 ORACLES: dict[str, str] = {

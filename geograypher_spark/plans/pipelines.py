@@ -57,3 +57,70 @@ def label_polygons(
     weight = F.col("overlap_area") * (slope_ratio_col() if use_slope_weight else F.lit(1.0))
     weighted = overlap.withColumn("weight", weight)
     return A.weighted_argmax(weighted, ["polygon_id"], class_col, "weight")
+
+
+def aggregate_images(
+    pixel_classes: DataFrame,
+    min_observations: int = 1,
+) -> DataFrame:
+    """Forward pipeline core (``entrypoints/aggregate_images.py`` /
+    ``aggregate_projected_images``, ``meshes/meshes.py:1971-2051``):
+    per-camera per-face class observations → per-face predicted class.
+
+    pixel_classes: (camera_id, face_id, class_id, pixel_count) — the
+    visibility join output joined with each camera's segmentation (for a
+    LookUpSegmentor this is a map face→class; for an ML segmentor the
+    per-pixel classes aggregate to the same shape). The reference's
+    streaming nansum/count loop is exactly groupBy partial+final agg here.
+
+    Returns (face_id, pred_class, total_weight, n_cameras).
+    """
+    counts = (
+        pixel_classes.filter(F.col("class_id").isNotNull())
+        .groupBy("face_id", "class_id")
+        .agg(F.sum("pixel_count").alias("w"),
+             F.countDistinct("camera_id").alias("n_cams"))
+    )
+    obs = counts.groupBy("face_id").agg(
+        F.max("n_cams").alias("n_cameras"))
+    pred = A.weighted_argmax(counts, ["face_id"], "class_id", "w")
+    return (
+        pred.join(obs, "face_id")
+        .filter(F.col("n_cameras") >= min_observations)
+        .select("face_id", "pred_class", "total_weight", "n_cameras")
+    )
+
+
+def forward_pipeline(
+    spark,
+    cameras: DataFrame,
+    faces: DataFrame,
+    verts: DataFrame,
+    face_true_class: DataFrame,
+    export_geojson_path: str | None = None,
+) -> DataFrame:
+    """The full aggregate_images entrypoint re-expressed (SURVEY §3.1):
+
+    cameras ⋈ faces (visibility z-buffer) → per-camera LookUp segmentation
+    (face→class broadcast join) → per-face weighted class argmax → per-class
+    footprint union → optional GeoJSON sink.
+
+    ``face_true_class``: (face_id, class_id) — the LookUpSegmentor's label
+    source (ground truth / upstream model output).
+    Returns the per-face predictions; the union/export is a side effect.
+    """
+    from ..operators.visibility import visibility_join
+    from ..operators.union import face_class_union
+    from ..sources.sinks import write_vector_geojson
+
+    vis = visibility_join(cameras, faces)
+    observed = vis.join(F.broadcast(face_true_class), "face_id")
+    pred = aggregate_images(
+        observed.select("camera_id", "face_id", "class_id", "pixel_count"))
+    if export_geojson_path is not None:
+        labeled_faces = faces.drop("class_id").join(
+            pred.select("face_id", F.col("pred_class").alias("class_id")),
+            "face_id", "left")
+        unions = face_class_union(labeled_faces, verts)
+        write_vector_geojson(unions, export_geojson_path)
+    return pred

@@ -92,7 +92,7 @@ def test_query_matches_oracle(contract, spark, duck, name):
 
 @pytest.mark.parametrize("name", [
     "visibility_zbuffer", "face_class_union", "triangulate", "simhash",
-    "ann_lsh", "rasterize_scene", "multimodal_features",
+    "ann_lsh", "rasterize_scene", "multimodal_features", "forward_pipeline",
 ])
 def test_rows_only_queries_run(contract, spark, name):
     df = contract.queries()[name](spark, SF_DIR)
