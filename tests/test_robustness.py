@@ -96,3 +96,37 @@ def test_triangle_overlap_salted_equivalence(spark, scene):
     b = {(r["face_id"], r["polygon_id"]): round(r["overlap_area"], 12)
          for r in salted.collect()}
     assert a == b
+
+
+def test_choose_salt_factor_detects_skew(spark):
+    from geograypher_spark.operators.spatial_join import (
+        choose_salt_factor, with_cell)
+
+    # uniform points → no salting
+    uniform = spark.range(100_000).select(
+        ((F.col("id") * 7919 % 10000) / 100.0).alias("x"),
+        ((F.col("id") * 104729 % 10000) / 100.0).alias("y"))
+    assert choose_salt_factor(with_cell(uniform), target_rows_per_task=5000) == 1
+
+    # 90% of points in one 8m cell (a dense forest plot) → salted
+    skewed = spark.range(100_000).select(
+        F.when(F.col("id") % 10 > 0, 1.0)
+        .otherwise((F.col("id") * 7919 % 10000) / 100.0).alias("x"),
+        F.when(F.col("id") % 10 > 0, 1.0)
+        .otherwise((F.col("id") * 104729 % 10000) / 100.0).alias("y"))
+    sf = choose_salt_factor(with_cell(skewed), target_rows_per_task=5000)
+    assert sf >= 8
+
+    # salted join equals unsalted on the skewed data
+    from geograypher_spark.operators.spatial_join import points_in_polygons
+    from geograypher_spark.functions import geometry as geom
+    import pandas as pd
+
+    wkb = geom.polygon_to_wkb([geom.rect_ring(0.0, 0.0, 50.0, 50.0)])
+    polys = spark.createDataFrame(pd.DataFrame({
+        "polygon_id": pd.Series([1], dtype="int64"), "geometry_wkb": [wkb]}))
+    pts = skewed.withColumn("pid", F.monotonically_increasing_id())
+    a = points_in_polygons(pts, polys).count()
+    b = points_in_polygons(pts, polys, broadcast_covering=False,
+                           salt_factor=sf).count()
+    assert a == b
