@@ -104,7 +104,23 @@ def _render_group(pdf: pd.DataFrame, cam_params: dict, scale: float) -> np.ndarr
     n = len(coords)
     # coords row = [x0,y0,z0,x1,y1,z1,x2,y2,z2] → (n*3, 3) points
     pts = coords.reshape(n, 3, 3).reshape(n * 3, 3)
-    px, py, z = cam.project_points(pts, c2w, f, cx, cy, w, h)
+    distortion = cam_params.get("distortion") or {}
+    if distortion:
+        # project via normalized coords → Brown–Conrady warp → pixels
+        # (reference renders undistorted then warps, meshes.py:1817-1820;
+        # distorting the vertices directly is the vectorized equivalent
+        # for geometry whose triangles are small vs the distortion field)
+        world_to_cam = cam.invert_rigid(c2w)
+        pc = cam.apply_transform(world_to_cam, pts)
+        z = pc[:, 2]
+        with np.errstate(divide="ignore", invalid="ignore"):
+            xn = pc[:, 0] / z
+            yn = pc[:, 1] / z
+        xd, yd = cam.brown_conrady_distort(xn, yn, distortion)
+        px = f * xd + cx + w / 2.0
+        py = f * yd + cy + h / 2.0
+    else:
+        px, py, z = cam.project_points(pts, c2w, f, cx, cy, w, h)
     tri_px = np.stack([px, py], axis=1).reshape(n, 3, 2)
     tri_z = z.reshape(n, 3)
     return rasterize_zbuffer(
@@ -260,10 +276,23 @@ _CAM_PARAM_KEYS = ("cam_to_world", "f", "cx", "cy", "w", "h")
 def _broadcast_cameras(cameras: DataFrame):
     """Camera params as a broadcast dict {camera_id: params}. The camera
     table is the small side of the visibility join by design (thousands of
-    rows vs billions of faces); candidate rows then carry only ids+coords."""
-    rows = cameras.select("camera_id", *_CAM_PARAM_KEYS).collect()
+    rows vs billions of faces); candidate rows then carry only ids+coords.
+    An optional ``distortion`` map column (Brown–Conrady params) rides
+    along for distortion-aware rendering."""
+    keys = list(_CAM_PARAM_KEYS)
+    if "distortion" in cameras.columns:
+        keys.append("distortion")
+
+    def _plain(v):
+        if v is None:
+            return v
+        if hasattr(v, "asDict"):   # Row (struct-typed distortion)
+            return {k: x for k, x in v.asDict().items() if x is not None}
+        return v                    # MapType already collects as dict
+
+    rows = cameras.select("camera_id", *keys).collect()
     cam_map = {
-        int(r["camera_id"]): {k: r[k] for k in _CAM_PARAM_KEYS} for r in rows}
+        int(r["camera_id"]): {k: _plain(r[k]) for k in keys} for r in rows}
     return cameras.sparkSession.sparkContext.broadcast(cam_map)
 
 

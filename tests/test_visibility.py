@@ -143,3 +143,70 @@ def test_camera_footprint_prunes_far_faces(spark):
     counts = V.visibility_join(cdf, both)
     assert counts.filter(F.col("face_id") >= 10**6).count() == 0
     assert counts.agg(F.sum("pixel_count")).collect()[0][0] == W * H
+
+
+def test_distortion_aware_render(spark):
+    """Barrel distortion (k1<0) pulls off-axis points toward the center:
+    a point at normalized radius r lands at r(1+k1 r²) < r. Verify the
+    rendered footprint of an off-center square shifts exactly as the
+    forward Brown-Conrady model predicts, and that k1=0 reproduces the
+    undistorted render."""
+    import pandas as pd
+    from geograypher_spark.functions import camera as camf
+
+    def square(half, z):
+        quad = np.array([
+            [1.0 - half, 1.0 - half, z], [1.0 + half, 1.0 - half, z],
+            [1.0 + half, 1.0 + half, z], [1.0 - half, 1.0 + half, z]])
+        rows = []
+        for k, tri in enumerate([(0, 1, 2), (0, 2, 3)]):
+            p = quad[list(tri)]
+            rows.append({
+                "face_id": k,
+                "x0": p[0, 0], "y0": p[0, 1], "z0": p[0, 2],
+                "x1": p[1, 0], "y1": p[1, 1], "z1": p[1, 2],
+                "x2": p[2, 0], "y2": p[2, 1], "z2": p[2, 2],
+                "cx": p[:, 0].mean(), "cy": p[:, 1].mean(), "cz": p[:, 2].mean(),
+            })
+        return pd.DataFrame(rows)
+
+    fdf = spark.createDataFrame(square(0.3, 0.0))
+    k1 = -0.2
+
+    def cam_df(dist):
+        pdf = pd.DataFrame([{
+            "camera_id": 0,
+            "cam_to_world": [1.0, 0, 0, 0.0, 0, -1.0, 0, 0.0, 0, 0, -1.0, 2.0,
+                             0, 0, 0, 1.0],
+            "f": 100.0, "cx": 0.0, "cy": 0.0, "w": 200, "h": 200,
+            "distortion": dist,
+        }])
+        return spark.createDataFrame(pdf)
+
+    import geograypher_spark.operators.visibility as V2
+
+    undist = V2.render_face_images(cam_df({}), fdf).collect()[0]
+    dist = V2.render_face_images(cam_df({"k1": k1}), fdf).collect()[0]
+    img_u = np.frombuffer(bytes(undist["face_image"]), dtype="<i8").reshape(200, 200)
+    img_d = np.frombuffer(bytes(dist["face_image"]), dtype="<i8").reshape(200, 200)
+
+    # undistorted: square center (1,1,0) at normalized (0.5,-0.5) → px
+    # (150, 50)
+    u_rows, u_cols = np.nonzero(img_u >= 0)
+    d_rows, d_cols = np.nonzero(img_d >= 0)
+    assert u_cols.mean() == pytest.approx(150.0, abs=1.0)
+    assert u_rows.mean() == pytest.approx(50.0, abs=1.0)
+    # distorted footprint bbox = forward-warped square corners (the warp is
+    # radially monotone here so extremes stay at the corners)
+    corners = np.array([[0.7, 0.7], [1.3, 0.7], [1.3, 1.3], [0.7, 1.3]])
+    xn = corners[:, 0] / 2.0
+    yn = -corners[:, 1] / 2.0
+    xd, yd = camf.brown_conrady_distort(xn, yn, {"k1": k1})
+    px = 100.0 * xd + 100.0
+    py = 100.0 * yd + 100.0
+    assert d_cols.min() == pytest.approx(px.min(), abs=1.5)
+    assert d_cols.max() == pytest.approx(px.max(), abs=1.5)
+    assert d_rows.min() == pytest.approx(py.min(), abs=1.5)
+    assert d_rows.max() == pytest.approx(py.max(), abs=1.5)
+    # barrel distortion shrinks the footprint
+    assert (img_d >= 0).sum() < (img_u >= 0).sum()
