@@ -43,6 +43,15 @@ def run(sf_dir: str, cpus: str, shuffle_partitions: int | None = None) -> dict:
         "bench", master=f"local[{cpus}]",
         shuffle_partitions=shuffle_partitions)
     spark.sparkContext.setLogLevel("ERROR")
+    # untimed warmup: python workers + codegen + a first parquet touch so
+    # the first measured query doesn't absorb session spin-up
+    import pandas as _pd
+
+    n_workers = os.cpu_count() or 8
+    spark.range(1_000_000).repartition(n_workers).mapInPandas(
+        lambda it: (_pd.DataFrame({"n": [len(p)]}) for p in it), "n long"
+    ).count()
+    spark.read.parquet(f"{sf_dir}/region.parquet").count()
     timings: dict[str, float] = {}
     rows: dict[str, int] = {}
     for name in HEADLINE:

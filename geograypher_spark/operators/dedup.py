@@ -107,18 +107,20 @@ def lsh_candidate_pairs(
     ≥1 band (rows_per_band = n_hashes/bands). Banded OR-amplification: the
     classic S-curve P(candidate) = 1-(1-j^r)^b."""
     rows = n_hashes // bands
-    band_cols = []
-    for b in range(bands):
-        cols = [F.col(f"h{b * rows + i}") for i in range(rows)]
-        band_cols.append(
-            F.md5(F.concat_ws("|", F.lit(str(b)), *cols)).alias(f"band{b}"))
-    banded = signatures.select(id_col, *band_cols)
-    stacked = None
-    for b in range(bands):
-        part = banded.select(
-            F.col(id_col), F.lit(b).alias("band_idx"),
-            F.col(f"band{b}").alias("band_hash"))
-        stacked = part if stacked is None else stacked.union(part)
+    band_structs = F.array(*[
+        F.struct(
+            F.lit(b).alias("band_idx"),
+            F.md5(F.concat_ws(
+                "|", F.lit(str(b)),
+                *[F.col(f"h{b * rows + i}") for i in range(rows)])
+            ).alias("band_hash"))
+        for b in range(bands)])
+    # one explode pass — a union of per-band selects would recompute the
+    # signature aggregation once per branch per join side
+    stacked = signatures.select(
+        F.col(id_col), F.explode(band_structs).alias("_b")
+    ).select(id_col, F.col("_b.band_idx").alias("band_idx"),
+             F.col("_b.band_hash").alias("band_hash"))
     a = stacked.select(F.col(id_col).alias("id_a"), "band_idx", "band_hash")
     b_ = stacked.select(F.col(id_col).alias("id_b"), "band_idx", "band_hash")
     return (
@@ -191,15 +193,16 @@ def simhash_near_pairs(
     block when max_hamming < n_blocks (pigeonhole) → candidate join on
     (block_idx, block_value), then exact popcount filter."""
     block_bits = 64 // n_blocks
-    stacked = None
-    for i in range(n_blocks):
-        part = sims.select(
-            F.col(id_col),
-            F.col("simhash"),
+    block_structs = F.array(*[
+        F.struct(
             F.lit(i).alias("block_idx"),
             F.shiftright("simhash", i * block_bits)
             .bitwiseAND(F.lit((1 << block_bits) - 1)).alias("block_val"))
-        stacked = part if stacked is None else stacked.union(part)
+        for i in range(n_blocks)])
+    stacked = sims.select(
+        F.col(id_col), F.col("simhash"), F.explode(block_structs).alias("_b")
+    ).select(id_col, "simhash", F.col("_b.block_idx").alias("block_idx"),
+             F.col("_b.block_val").alias("block_val"))
     a = stacked.select(F.col(id_col).alias("id_a"), F.col("simhash").alias("sh_a"),
                        "block_idx", "block_val")
     b = stacked.select(F.col(id_col).alias("id_b"), F.col("simhash").alias("sh_b"),

@@ -107,14 +107,18 @@ def cosine_topk_lsh(
         quantized(F.col(vec_col), scale).alias("qv"),
         sig_udf(F.col(vec_col)).alias("sig"),
     ).withColumn("n2", _norm2(F.col("qv")))
-    stacked = None
-    for b in range(bands):
-        part = base.select(
-            "vec_id", "qv", "n2",
+    # ONE pass: explode a band array — a union of per-band selects would
+    # re-execute the signature stage once per branch per join side
+    band_structs = F.array(*[
+        F.struct(
             F.lit(b).alias("band_idx"),
             F.shiftright("sig", b * rows)
             .bitwiseAND(F.lit((1 << rows) - 1)).alias("band_val"))
-        stacked = part if stacked is None else stacked.union(part)
+        for b in range(bands)])
+    stacked = base.select(
+        "vec_id", "qv", "n2", F.explode(band_structs).alias("_b")
+    ).select("vec_id", "qv", "n2", F.col("_b.band_idx").alias("band_idx"),
+             F.col("_b.band_val").alias("band_val"))
     a = stacked.select(F.col("vec_id"), F.col("qv").alias("qa"),
                        F.col("n2").alias("na"), "band_idx", "band_val")
     b_ = stacked.select(F.col("vec_id").alias("neighbor_id"),
