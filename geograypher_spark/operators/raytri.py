@@ -291,7 +291,7 @@ def triangulate_components(rays: DataFrame, components: DataFrame) -> DataFrame:
     component is bounded."""
     tagged = rays.join(components, rays["ray_id"] == components["node"]).drop("node")
 
-    def agg(key, pdf: pd.DataFrame) -> pd.DataFrame:
+    def agg(key: tuple, pdf: pd.DataFrame) -> pd.DataFrame:
         # group row order is shuffle-dependent; sort for a deterministic
         # summation order in the mean (bit-stable output)
         pdf = pdf.sort_values("ray_id")

@@ -174,7 +174,7 @@ def rasterize_face_labels(
                  .withColumn("tile_y", F.col("_t.ty")).drop("_t")
 
     if emit_images:
-        def agg_img(key, pdf: pd.DataFrame) -> pd.DataFrame:
+        def agg_img(key: tuple, pdf: pd.DataFrame) -> pd.DataFrame:
             img = _rasterize_tile(pdf, grid, int(key[0]), int(key[1]))
             return pd.DataFrame({
                 "tile_x": [key[0]], "tile_y": [key[1]],
@@ -182,7 +182,7 @@ def rasterize_face_labels(
         return tiled.groupBy("tile_x", "tile_y").applyInPandas(
             agg_img, schema=TILE_IMAGE_SCHEMA)
 
-    def agg_counts(key, pdf: pd.DataFrame) -> pd.DataFrame:
+    def agg_counts(key: tuple, pdf: pd.DataFrame) -> pd.DataFrame:
         img = _rasterize_tile(pdf, grid, int(key[0]), int(key[1]))
         vals, counts = np.unique(img[img != NODATA], return_counts=True)
         return pd.DataFrame({
@@ -252,7 +252,7 @@ def assemble_tiled_predictions(
 
     pieces = windows.mapInPandas(split, schema=PIECE_SCHEMA)
 
-    def reduce_tile(key, pdf: pd.DataFrame) -> pd.DataFrame:
+    def reduce_tile(key: tuple, pdf: pd.DataFrame) -> pd.DataFrame:
         acc = np.zeros((tp, tp, n_classes), dtype=np.float64)
         for _, row in pdf.iterrows():
             ph, pw = int(row["ph"]), int(row["pw"])

@@ -91,7 +91,7 @@ def face_class_union(
         .join(vxy.select(F.col("vert_id").alias("v"), F.col("x").alias("vx"), F.col("y").alias("vy")), "v")
     )
 
-    def chain(key, pdf: pd.DataFrame) -> pd.DataFrame:
+    def chain(key: tuple, pdf: pd.DataFrame) -> pd.DataFrame:
         # successor map u→(v, coords); boundary of a valid triangulation is
         # a 1-manifold so each u has exactly one outgoing edge per ring pass
         nxt: dict[int, list[tuple[int, float, float]]] = {}

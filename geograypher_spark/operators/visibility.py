@@ -309,7 +309,7 @@ def visibility_join(
     ).select("camera_id", "face_id", *FACE_COORD_COLS)
     bc = _broadcast_cameras(cameras)
 
-    def agg(key, pdf: pd.DataFrame) -> pd.DataFrame:
+    def agg(key: tuple, pdf: pd.DataFrame) -> pd.DataFrame:
         img = _render_group(pdf, bc.value[int(key[0])], scale)
         hit = img[img >= 0]
         if len(hit) == 0:
@@ -343,7 +343,7 @@ def render_face_images(
         T.StructField("face_image", T.BinaryType()),
     ])
 
-    def agg(key, pdf: pd.DataFrame) -> pd.DataFrame:
+    def agg(key: tuple, pdf: pd.DataFrame) -> pd.DataFrame:
         img = _render_group(pdf, bc.value[int(key[0])], scale)
         return pd.DataFrame({
             "camera_id": [key[0]],
