@@ -77,6 +77,81 @@ def cell_parent_col(cell: Column, steps: int = 1) -> Column:
     )
 
 
+def cell_ancestor_col(cell: Column, level: int) -> Column:
+    """Ancestor of each (finer-res) cell at the fixed resolution ``level``.
+    Per-row shift count (res - level) varies, so use exact power-of-two
+    integer division (ix + OFFSET < 2^29 is exact in double). Only call on
+    rows whose res >= level."""
+    steps = (cell_res_col(cell) - F.lit(level)).cast("double")
+    factor = F.pow(F.lit(2.0), steps)
+    # divide the UNBIASED index (floor-div matches arithmetic shift for
+    # negatives), then re-bias — dividing ix+OFFSET would halve the offset
+    ix = F.floor(cell_ix_col(cell).cast("double") / factor).cast("long") + F.lit(_OFFSET)
+    iy = F.floor(cell_iy_col(cell).cast("double") / factor).cast("long") + F.lit(_OFFSET)
+    return (
+        F.shiftleft(F.lit(int(level)).cast("long"), 2 * _COORD_BITS)
+        .bitwiseOR(F.shiftleft(ix, _COORD_BITS))
+        .bitwiseOR(iy)
+    )
+
+
+def multires_cell_array_col(x: Column, y: Column, res_levels: list[int]) -> Column:
+    """Array of packed cell ids for point (x, y), one per resolution in
+    ``res_levels``. Explode + equi-join this against a MIXED-resolution
+    covering (``covering_cells_np`` coarsens per-row when a bbox would
+    exceed ``max_cells``): each covering row is at exactly one res, so a
+    point matches a given geometry through at most one array element.
+    Blow-up factor = len(res_levels), which is 1 in the common case and
+    bounded by the coarsening depth otherwise."""
+    return F.array(*[cell_id_col(x, y, r) for r in res_levels])
+
+
+def bbox_cells_array_col(
+    xmin: Column, ymin: Column, xmax: Column, ymax: Column, res: int,
+) -> Column:
+    """Array column of the cells at ``res`` covering a per-row bbox — the
+    pure-column-expr twin of ``covering_cells_np`` (whole-stage codegen,
+    no Python). Intended for per-row-small bboxes (triangles, face bboxes);
+    large-ROI coverings go through ``covering_cells_np`` which bounds the
+    count by coarsening."""
+    s = F.lit(cell_size(res))
+    ix0 = F.floor(xmin / s).cast("long")
+    ix1 = F.floor(xmax / s).cast("long")
+    iy0 = F.floor(ymin / s).cast("long")
+    iy1 = F.floor(ymax / s).cast("long")
+    offset = F.lit(_OFFSET).cast("long")
+    res_bits = F.lit(int(res)).cast("long")
+    return F.flatten(F.transform(
+        F.sequence(ix0, ix1),
+        lambda ix: F.transform(
+            F.sequence(iy0, iy1),
+            lambda iy: F.shiftleft(res_bits, 2 * _COORD_BITS)
+            .bitwiseOR(F.shiftleft(ix + offset, _COORD_BITS))
+            .bitwiseOR(iy + offset),
+        ),
+    ))
+
+
+def multires_bbox_cells_col(
+    xmin: Column, ymin: Column, xmax: Column, ymax: Column,
+    res_levels: list[int],
+) -> Column:
+    """Concatenated bbox-covering cells over every resolution in
+    ``res_levels`` — the bbox analog of ``multires_cell_array_col``."""
+    arrays = [bbox_cells_array_col(xmin, ymin, xmax, ymax, r)
+              for r in res_levels]
+    return arrays[0] if len(arrays) == 1 else F.concat(*arrays)
+
+
+def res_levels_of_cells(cell_values) -> list[int]:
+    """Distinct resolutions present in an iterable/array of packed cell ids
+    (driver-side twin of ``cell_res_col``)."""
+    arr = np.asarray(list(cell_values), dtype=np.int64)
+    if arr.size == 0:
+        return []
+    return sorted({int(r) for r in np.unique(arr >> (2 * _COORD_BITS))})
+
+
 # ---------------------------------------------------------------------------
 # Numpy twins (for pandas UDFs / drivers / tests)
 # ---------------------------------------------------------------------------
@@ -125,9 +200,17 @@ def covering_cells_np(
     xmin: float, ymin: float, xmax: float, ymax: float, res: int,
     max_cells: int | None = None,
 ) -> np.ndarray:
-    """Cells at ``res`` covering an axis-aligned bbox (polygon covering,
+    """Cells covering an axis-aligned bbox (polygon covering,
     frustum-footprint covering). Coarsens resolution if the covering would
     exceed ``max_cells`` (keeps the candidate join bounded for huge ROIs).
+
+    CONTRACT: output may be at a resolution COARSER than ``res`` (the res
+    is encoded in the id's top bits, so coarse ids never equi-join-match
+    fixed-res ids). Consumers must join the other side at every resolution
+    present in the covering — use ``res_levels_of_cells`` /
+    ``covering_res_levels`` + ``multires_cell_array_col`` /
+    ``multires_bbox_cells_col``. Joining a mixed-res covering against a
+    single fixed-res key silently drops every coarsened row's matches.
     """
     r = res
     while True:

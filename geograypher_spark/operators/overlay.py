@@ -20,8 +20,32 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
+from ..functions import cells as C
 from ..functions import geometry as geom
-from .spatial_join import polygon_covering_cells, polygon_covering_cells_driver
+from .spatial_join import (
+    covering_res_levels,
+    polygon_covering_cells,
+    polygon_covering_cells_driver,
+)
+
+
+def _align_covering(cover: DataFrame, other_levels: list[int]) -> DataFrame:
+    """A covering may hold mixed resolutions (large bboxes coarsen — see
+    ``covering_cells_np``). For a covering×covering equi-join, two bboxes
+    overlap iff their cells share an ancestor at the coarser of their two
+    resolutions — so each side also emits its ancestors at every COARSER
+    level the other side uses. Candidate set stays a superset (exact-area
+    refine removes false positives); dedup collapses multi-level matches."""
+    legs = [cover]
+    res_col = C.cell_res_col(F.col("cell"))
+    for lvl in other_levels:
+        finer = cover.filter(res_col > F.lit(lvl))
+        legs.append(finer.withColumn(
+            "cell", C.cell_ancestor_col(F.col("cell"), lvl)))
+    out = legs[0]
+    for leg in legs[1:]:
+        out = out.unionByName(leg)
+    return out
 
 
 def polygon_overlap_join(
@@ -40,10 +64,16 @@ def polygon_overlap_join(
         wkb_col="_lwkb", res=res)
     rsel = right.select(F.col(right_key), F.col("geometry_wkb").alias("_rwkb"))
     if broadcast_right:
-        rcover = F.broadcast(polygon_covering_cells_driver(
-            rsel, wkb_col="_rwkb", res=res))
+        rcover, r_levels = polygon_covering_cells_driver(
+            rsel, wkb_col="_rwkb", res=res)
     else:
         rcover = polygon_covering_cells(rsel, wkb_col="_rwkb", res=res)
+        r_levels = covering_res_levels(rcover) or [res]
+    l_levels = covering_res_levels(lcover) or [res]
+    lcover = _align_covering(lcover, r_levels)
+    rcover = _align_covering(rcover, l_levels)
+    if broadcast_right:
+        rcover = F.broadcast(rcover)
     cand = (
         lcover.join(rcover, "cell").drop("cell")
         .dropDuplicates([left_key, right_key])

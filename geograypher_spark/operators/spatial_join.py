@@ -40,33 +40,68 @@ def with_cell(df: DataFrame, x: str = "x", y: str = "y", res: int = DEFAULT_RES,
     return df.withColumn(out, C.cell_id_col(F.col(x), F.col(y), res))
 
 
-def polygon_covering_cells_driver(
-    polygons: DataFrame, wkb_col: str = "geometry_wkb", res: int = DEFAULT_RES,
-    max_cells_per_polygon: int = 4096,
+def with_cell_multires(
+    df: DataFrame, x: str = "x", y: str = "y",
+    res_levels: list[int] | None = None, out: str = "cell",
 ) -> DataFrame:
-    """Driver-side covering for the BROADCAST path: the polygon side is by
-    definition small enough to broadcast, so collecting it is free and
-    avoids a 32-task python stage for a 3-row table."""
-    import pandas as pd
+    """Cell key(s) for the point side of a covering join. With one level
+    this is a plain column (no row blow-up); with several (a covering that
+    coarsened some rows) the point gets one row per level via explode —
+    each covering row is single-res, so a (point, geometry) pair still
+    matches through exactly one leg."""
+    levels = sorted(set(res_levels or [DEFAULT_RES]))
+    if len(levels) == 1:
+        return df.withColumn(out, C.cell_id_col(F.col(x), F.col(y), levels[0]))
+    return df.withColumn(
+        out, F.explode(C.multires_cell_array_col(F.col(x), F.col(y), levels)))
 
-    pdf = polygons.toPandas()
+
+def covering_res_levels(cover: DataFrame) -> list[int]:
+    """Distinct resolutions present in a covering DataFrame — one tiny agg
+    job on the SMALL (covering) side, never on the point side."""
+    rows = (cover.select(C.cell_res_col(F.col("cell")).alias("r"))
+            .distinct().collect())
+    return sorted(int(r["r"]) for r in rows)
+
+
+def _polygon_covering_pdf(
+    polygons_pdf: "pd.DataFrame", wkb_col: str, res: int,
+    max_cells_per_polygon: int,
+) -> "pd.DataFrame":
     outs = []
-    for _, row in pdf.iterrows():
+    for _, row in polygons_pdf.iterrows():
         polys = geom.wkb_to_rings(bytes(row[wkb_col]))
         xmin, ymin, xmax, ymax = geom.rings_bbox(polys)
         cc = C.covering_cells_np(xmin, ymin, xmax, ymax, res,
                                  max_cells=max_cells_per_polygon)
         o = pd.DataFrame({"cell": cc})
-        for c in pdf.columns:
+        for c in polygons_pdf.columns:
             o[c] = [row[c]] * len(cc)
         outs.append(o)
-    cover_pdf = pd.concat(outs) if outs else pd.DataFrame(
+    return pd.concat(outs) if outs else pd.DataFrame(
         {"cell": pd.Series([], dtype="int64"),
-         **{c: pd.Series([], dtype=object) for c in pdf.columns}})
+         **{c: pd.Series([], dtype=object) for c in polygons_pdf.columns}})
+
+
+def polygon_covering_cells_driver(
+    polygons: DataFrame, wkb_col: str = "geometry_wkb", res: int = DEFAULT_RES,
+    max_cells_per_polygon: int = 4096,
+) -> tuple[DataFrame, list[int]]:
+    """Driver-side covering for the BROADCAST path: the polygon side is by
+    definition small enough to broadcast, so collecting it is free and
+    avoids a 32-task python stage for a 3-row table.
+
+    Returns ``(covering_df, res_levels)`` — the levels come free from the
+    local pandas frame, so the point side can key itself at every res the
+    covering actually uses (coarsened large-ROI rows included) without an
+    extra Spark job."""
+    pdf = polygons.toPandas()
+    cover_pdf = _polygon_covering_pdf(pdf, wkb_col, res, max_cells_per_polygon)
+    levels = C.res_levels_of_cells(cover_pdf["cell"].to_numpy()) or [res]
     spark = polygons.sparkSession
     schema = T.StructType(
         [T.StructField("cell", T.LongType())] + list(polygons.schema.fields))
-    return spark.createDataFrame(cover_pdf, schema=schema).coalesce(1)
+    return spark.createDataFrame(cover_pdf, schema=schema).coalesce(1), levels
 
 
 def polygon_covering_cells(
@@ -78,23 +113,9 @@ def polygon_covering_cells(
     Bbox covering (safe overestimate); the exact PIP refine removes false
     positives, so correctness never depends on covering tightness.
     """
-    other_cols = [c for c in polygons.columns]
-
     def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            rows = []
-            for _, row in pdf.iterrows():
-                polys = geom.wkb_to_rings(row[wkb_col])
-                xmin, ymin, xmax, ymax = geom.rings_bbox(polys)
-                cc = C.covering_cells_np(
-                    xmin, ymin, xmax, ymax, res, max_cells=max_cells_per_polygon)
-                out = pd.DataFrame({"cell": cc})
-                for c in other_cols:
-                    out[c] = [row[c]] * len(cc)
-                rows.append(out)
-            yield pd.concat(rows) if rows else pd.DataFrame(
-                {"cell": pd.Series([], dtype="int64"),
-                 **{c: pd.Series([], dtype=object) for c in other_cols}})
+            yield _polygon_covering_pdf(pdf, wkb_col, res, max_cells_per_polygon)
 
     schema = T.StructType(
         [T.StructField("cell", T.LongType())] + list(polygons.schema.fields))
@@ -209,33 +230,26 @@ def triangles_polygon_overlap(
 
     ``faces`` needs columns x0..y2 (triangle 2D coords) plus any keys.
     """
-    # triangle covering: cells of the triangle's bbox via explode of a
-    # per-row cell array (triangles are small vs cells; usually 1-4 cells)
-    s = F.lit(C.cell_size(res))
-    fxmin = F.least("x0", "x1", "x2"); fxmax = F.greatest("x0", "x1", "x2")
-    fymin = F.least("y0", "y1", "y2"); fymax = F.greatest("y0", "y1", "y2")
-    ix0 = F.floor(fxmin / s).cast("long"); ix1 = F.floor(fxmax / s).cast("long")
-    iy0 = F.floor(fymin / s).cast("long"); iy1 = F.floor(fymax / s).cast("long")
-    offset = F.lit(1 << 28).cast("long")
-    res_bits = F.lit(int(res)).cast("long")
-    cells = F.flatten(F.transform(
-        F.sequence(ix0, ix1),
-        lambda ix: F.transform(
-            F.sequence(iy0, iy1),
-            lambda iy: F.shiftleft(res_bits, 58)
-            .bitwiseOR(F.shiftleft(ix + offset, 29))
-            .bitwiseOR(iy + offset),
-        ),
-    ))
-    tri_cells = faces.withColumn("cell", F.explode(cells))
     if broadcast_covering and salt_factor is None:
-        cover = polygon_covering_cells_driver(polygons, res=res)
-        cand = tri_cells.join(F.broadcast(cover), "cell")
-    elif salt_factor:
-        cover = polygon_covering_cells(polygons, res=res)
-        cand = salted_equi_join(tri_cells, cover, "cell", salt_factor)
+        cover, levels = polygon_covering_cells_driver(polygons, res=res)
     else:
         cover = polygon_covering_cells(polygons, res=res)
+        # one tiny agg on the covering (polygon) side to learn which
+        # resolutions coarsening actually produced — never scans faces
+        levels = covering_res_levels(cover) or [res]
+    # triangle covering: cells of the triangle's bbox at every covering res
+    # via explode of a per-row cell array (triangles are small vs cells;
+    # usually 1-4 cells; extra levels only appear when some polygon's ROI
+    # was coarsened)
+    fxmin = F.least("x0", "x1", "x2"); fxmax = F.greatest("x0", "x1", "x2")
+    fymin = F.least("y0", "y1", "y2"); fymax = F.greatest("y0", "y1", "y2")
+    cells = C.multires_bbox_cells_col(fxmin, fymin, fxmax, fymax, levels)
+    tri_cells = faces.withColumn("cell", F.explode(cells))
+    if broadcast_covering and salt_factor is None:
+        cand = tri_cells.join(F.broadcast(cover), "cell")
+    elif salt_factor:
+        cand = salted_equi_join(tri_cells, cover, "cell", salt_factor)
+    else:
         cand = tri_cells.join(cover, "cell")
     # a (face, polygon) pair can match in several cells → dedup before the
     # expensive refine (cheap: candidate set is already small)
@@ -268,9 +282,9 @@ def points_in_polygons(
     scale). Salted/shuffle paths keep the wkb column (the polygon side is
     too big to broadcast there by definition).
     """
-    pts = with_cell(points, x, y, res)
     if broadcast_covering and salt_factor is None:
-        cover = polygon_covering_cells_driver(polygons, res=res)
+        cover, levels = polygon_covering_cells_driver(polygons, res=res)
+        pts = with_cell_multires(points, x, y, levels)
         wkb_map = {row[0]: bytes(row[1]) for row in
                    polygons.select(polygon_id_col, "geometry_wkb").collect()}
         bc = points.sparkSession.sparkContext.broadcast(wkb_map)
@@ -292,9 +306,11 @@ def points_in_polygons(
         return refined.drop("cell")
     elif salt_factor:
         cover = polygon_covering_cells(polygons, res=res)
+        pts = with_cell_multires(points, x, y, covering_res_levels(cover) or [res])
         cand = salted_equi_join(pts, cover, "cell", salt_factor)
     else:
         cover = polygon_covering_cells(polygons, res=res)
+        pts = with_cell_multires(points, x, y, covering_res_levels(cover) or [res])
         cand = pts.join(cover, "cell")
     refined = cand.filter(pip_udf(F.col(x), F.col(y), F.col("geometry_wkb")))
     return refined.drop("cell", "geometry_wkb")

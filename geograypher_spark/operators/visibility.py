@@ -184,11 +184,16 @@ def camera_footprint_cells(
 def camera_footprint_cells_driver(
     cameras: DataFrame, z_min: float, z_max: float,
     res: int, max_cells: int = 4096,
-) -> DataFrame:
+) -> tuple[DataFrame, list[int]]:
     """Driver-side footprint covering for the BROADCAST path: the camera
     table is the broadcast side by definition (it's also collected for the
     render params), so covering it locally removes a python mapInPandas
-    stage from every downstream action."""
+    stage from every downstream action.
+
+    Returns ``(covering_df, res_levels)``: an oblique camera whose footprint
+    bbox exceeds ``max_cells`` coarsens its covering (see
+    ``covering_cells_np``), so the face side must key itself at every
+    resolution the covering actually uses."""
     rows = cameras.collect()
     out = {"cell": [], **{c: [] for c in cameras.columns}}
     for row in rows:
@@ -221,31 +226,52 @@ def camera_footprint_cells_driver(
             for c in cameras.columns:
                 out[c].append(row[c])
     spark = cameras.sparkSession
+    levels = C.res_levels_of_cells(out["cell"]) or [res]
     schema = T.StructType(
         [T.StructField("cell", T.LongType())] + list(cameras.schema.fields))
-    return spark.createDataFrame(pd.DataFrame(out), schema=schema).coalesce(1)
+    return (spark.createDataFrame(pd.DataFrame(out), schema=schema)
+            .coalesce(1), levels)
 
 
 def candidate_camera_faces(
     cameras: DataFrame, faces: DataFrame, res: int = 4,
     broadcast_cameras: bool = True, salt_factor: int | None = None,
+    max_cells: int = 4096, z_range: tuple[float, float] | None = None,
 ) -> DataFrame:
-    """Cell equi-join of camera footprints × face centroid cells →
-    deduped (camera cols + face cols) candidate pairs."""
-    zstats = faces.agg(
-        F.min(F.least("z0", "z1", "z2")).alias("zmin"),
-        F.max(F.greatest("z0", "z1", "z2")).alias("zmax"),
-    ).collect()[0]
+    """Cell equi-join of camera footprints × face BBOX covering cells →
+    (camera cols + face cols) candidate pairs.
+
+    Faces key on their bbox covering (not the centroid cell): a face whose
+    centroid sits one cell outside the camera footprint but whose triangle
+    still reaches into the frustum would otherwise never be shipped to the
+    rasterizer (hole at the image edge). The face side is keyed at every
+    resolution the camera covering uses, so coarsened (oblique, large-
+    footprint) cameras still match (``covering_cells_np`` contract).
+
+    ``z_range``: precomputed (zmin, zmax) of the mesh — pass it to skip the
+    per-call faces scan (e.g. from table stats at 100 TB scale).
+    """
+    if z_range is None:
+        zstats = faces.agg(
+            F.min(F.least("z0", "z1", "z2")).alias("zmin"),
+            F.max(F.greatest("z0", "z1", "z2")).alias("zmax"),
+        ).collect()[0]
+        z_range = (float(zstats["zmin"]), float(zstats["zmax"]))
     if broadcast_cameras and salt_factor is None:
-        cam_cells = camera_footprint_cells_driver(
-            cameras, float(zstats["zmin"]), float(zstats["zmax"]), res)
+        cam_cells, levels = camera_footprint_cells_driver(
+            cameras, z_range[0], z_range[1], res, max_cells=max_cells)
     else:
         cam_cells = camera_footprint_cells(
-            cameras, float(zstats["zmin"]), float(zstats["zmax"]), res)
+            cameras, z_range[0], z_range[1], res, max_cells=max_cells)
+        from .spatial_join import covering_res_levels
+        levels = covering_res_levels(cam_cells) or [res]
     # face centroid cx/cy collides with the camera principal point cx/cy —
-    # the centroid is only needed for the cell key, so drop it after encoding
+    # only the bbox is needed for the cell key, so drop centroids after
+    fxmin = F.least("x0", "x1", "x2"); fxmax = F.greatest("x0", "x1", "x2")
+    fymin = F.least("y0", "y1", "y2"); fymax = F.greatest("y0", "y1", "y2")
     face_cells = faces.withColumn(
-        "cell", C.cell_id_col(F.col("cx"), F.col("cy"), res)
+        "cell", F.explode(C.multires_bbox_cells_col(fxmin, fymin, fxmax, fymax,
+                                                    levels))
     ).drop("cx", "cy", "cz")
     if broadcast_cameras and salt_factor is None:
         cand = face_cells.join(F.broadcast(cam_cells), "cell")
@@ -254,8 +280,11 @@ def candidate_camera_faces(
         cand = salted_equi_join(face_cells, cam_cells, "cell", salt_factor)
     else:
         cand = face_cells.join(cam_cells, "cell")
-    # pairs are unique by construction: each face keys on ONE centroid cell
-    # and a camera's covering cells are distinct — no dedup shuffle needed
+    # a face bbox spanning k covering cells of one camera yields k copies of
+    # the (camera, face) pair. The z-buffer rasterizer is idempotent per
+    # face (strict depth-<, deterministic face_id order), so duplicates are
+    # render-time overhead only — cheaper than a global dedup shuffle here;
+    # callers that need distinct pairs dedup on (camera_id, face_id).
     return cand.drop("cell")
 
 
@@ -300,12 +329,14 @@ def visibility_join(
     cameras: DataFrame, faces: DataFrame,
     res: int = 4, scale: float = 1.0,
     salt_factor: int | None = None,
+    max_cells: int = 4096, z_range: tuple[float, float] | None = None,
 ) -> DataFrame:
     """→ (camera_id, face_id, pixel_count): for every camera, the number of
     pixels whose first hit is each face (pixel_count > 0 only). The
     engine's pix2face analog, aggregated (SURVEY §1.1 'pix2face map')."""
     cand = candidate_camera_faces(
-        cameras, faces, res=res, salt_factor=salt_factor
+        cameras, faces, res=res, salt_factor=salt_factor,
+        max_cells=max_cells, z_range=z_range,
     ).select("camera_id", "face_id", *FACE_COORD_COLS)
     bc = _broadcast_cameras(cameras)
 
