@@ -53,16 +53,27 @@ def word_shingles(
 
 def jaccard_pairs(
     docs: DataFrame, id_col: str = "doc_id", text_col: str = "text",
-    n: int = 3, threshold: float = 0.5,
+    n: int = 3, threshold: float = 0.5, df_cap: int | None = None,
 ) -> DataFrame:
     """→ (id_a, id_b, inter, size_a, size_b, jaccard) for pairs ≥ threshold.
 
     Inverted-index self-join: only docs sharing a shingle pair up — the
     candidate count is bounded by shingle document-frequency, not N².
-    At scale, drop ultra-frequent shingles first (df cap) — stop-shingle
-    removal is the salting analog for this join's skew.
+
+    ``df_cap`` drops shingles appearing in more than that many documents
+    BEFORE the self-join (stop-shingle removal — the skew guard this join
+    needs at scale: one shingle in k docs creates k²/2 candidate pairs
+    through a single hot key). Doc sizes and intersections are both
+    computed over the capped shingle set, so the reported jaccard stays a
+    true Jaccard of the capped sets; pairs that only share ultra-frequent
+    shingles are missed by design (MinHash-LSH covers near-exact dups).
+    Default None = exact (small corpora / oracle parity).
     """
     sh = word_shingles(docs, id_col, text_col, n)
+    if df_cap is not None:
+        dfreq = sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("_df"))
+        sh = (sh.join(F.broadcast(dfreq.filter(F.col("_df") > df_cap)),
+                      "shingle", "left_anti"))
     sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("sz"))
     a = sh.select(F.col(id_col).alias("id_a"), "shingle")
     b = sh.select(F.col(id_col).alias("id_b"), "shingle")
@@ -186,18 +197,33 @@ def simhash(
 
 def simhash_near_pairs(
     sims: DataFrame, id_col: str = "doc_id", max_hamming: int = 8,
-    n_blocks: int = 4,
+    n_blocks: int | None = None,
 ) -> DataFrame:
     """Pigeonhole bucket join: split the 64-bit hash into ``n_blocks``
-    16-bit blocks; pairs within ``max_hamming`` ≤ blocks*?? share ≥1 exact
-    block when max_hamming < n_blocks (pigeonhole) → candidate join on
-    (block_idx, block_value), then exact popcount filter."""
-    block_bits = 64 // n_blocks
+    contiguous blocks; a pair within hamming distance ``max_hamming`` has
+    at most ``max_hamming`` differing blocks, so with
+    ``n_blocks > max_hamming`` it shares ≥1 exact block (pigeonhole) →
+    LOSSLESS candidate join on (block_idx, block_value), then exact
+    popcount filter. Default ``n_blocks = max_hamming + 1`` (blocks of
+    ~64/(h+1) bits); passing ``n_blocks <= max_hamming`` would silently
+    miss pairs and raises instead."""
+    if n_blocks is None:
+        n_blocks = max_hamming + 1
+    if n_blocks <= max_hamming:
+        raise ValueError(
+            f"n_blocks={n_blocks} <= max_hamming={max_hamming} breaks the "
+            "pigeonhole recall guarantee (pairs differing in every block "
+            "would be missed); need n_blocks > max_hamming")
+    if n_blocks > 64:
+        raise ValueError("n_blocks > 64: blocks would be empty")
+    # variable-width contiguous blocks covering all 64 bits
+    bounds = [round(64 * i / n_blocks) for i in range(n_blocks + 1)]
     block_structs = F.array(*[
         F.struct(
             F.lit(i).alias("block_idx"),
-            F.shiftright("simhash", i * block_bits)
-            .bitwiseAND(F.lit((1 << block_bits) - 1)).alias("block_val"))
+            F.shiftright("simhash", bounds[i])
+            .bitwiseAND(F.lit((1 << (bounds[i + 1] - bounds[i])) - 1))
+            .alias("block_val"))
         for i in range(n_blocks)])
     stacked = sims.select(
         F.col(id_col), F.col("simhash"), F.explode(block_structs).alias("_b")

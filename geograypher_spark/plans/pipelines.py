@@ -75,14 +75,16 @@ def aggregate_images(
 
     Returns (face_id, pred_class, total_weight, n_cameras).
     """
+    valid = pixel_classes.filter(F.col("class_id").isNotNull())
     counts = (
-        pixel_classes.filter(F.col("class_id").isNotNull())
-        .groupBy("face_id", "class_id")
-        .agg(F.sum("pixel_count").alias("w"),
-             F.countDistinct("camera_id").alias("n_cams"))
+        valid.groupBy("face_id", "class_id")
+        .agg(F.sum("pixel_count").alias("w"))
     )
-    obs = counts.groupBy("face_id").agg(
-        F.max("n_cams").alias("n_cameras"))
+    # observations are per FACE across all classes — a face seen by two
+    # cameras voting for different classes has n_cameras=2, not max(1,1)
+    # (reference counts valid projections per face, meshes.py:2010-2031)
+    obs = valid.groupBy("face_id").agg(
+        F.countDistinct("camera_id").alias("n_cameras"))
     pred = A.weighted_argmax(counts, ["face_id"], "class_id", "w")
     return (
         pred.join(obs, "face_id")

@@ -109,14 +109,47 @@ def parse_colmap(cameras_txt: str, images_txt: str) -> list[dict]:
         parts = line.split()
         cam_id, model, w, h = int(parts[0]), parts[1], int(parts[2]), int(parts[3])
         params = [float(p) for p in parts[4:]]
-        if model in ("SIMPLE_PINHOLE", "SIMPLE_RADIAL"):
+        dist: dict[str, float] = {}
+        if model == "SIMPLE_PINHOLE":
             f, cx, cy = params[0], params[1], params[2]
-        elif model in ("PINHOLE",):
-            f, cx, cy = params[0], params[2], params[3]
+        elif model == "SIMPLE_RADIAL":
+            # params = f, cx, cy, k — the radial coefficient maps to k1
+            f, cx, cy = params[0], params[1], params[2]
+            if len(params) > 3 and params[3] != 0.0:
+                dist["k1"] = params[3]
+        elif model == "PINHOLE":
+            # params = fx, fy, cx, cy — the engine models one focal length;
+            # anisotropic pixels would project wrong silently, so reject
+            fx, fy = params[0], params[1]
+            if abs(fx - fy) > 1e-6 * max(abs(fx), 1.0):
+                raise ValueError(
+                    f"COLMAP camera {cam_id}: PINHOLE fx={fx} != fy={fy}; "
+                    "anisotropic intrinsics are not supported")
+            f, cx, cy = fx, params[2], params[3]
+        elif model == "RADIAL":
+            # params = f, cx, cy, k1, k2
+            f, cx, cy = params[0], params[1], params[2]
+            for key, idx in (("k1", 3), ("k2", 4)):
+                if len(params) > idx and params[idx] != 0.0:
+                    dist[key] = params[idx]
+        elif model == "OPENCV":
+            # params = fx, fy, cx, cy, k1, k2, p1, p2
+            fx, fy = params[0], params[1]
+            if abs(fx - fy) > 1e-6 * max(abs(fx), 1.0):
+                raise ValueError(
+                    f"COLMAP camera {cam_id}: OPENCV fx={fx} != fy={fy}; "
+                    "anisotropic intrinsics are not supported")
+            f, cx, cy = fx, params[2], params[3]
+            for key, idx in (("k1", 4), ("k2", 5), ("p1", 6), ("p2", 7)):
+                if len(params) > idx and params[idx] != 0.0:
+                    dist[key] = params[idx]
         else:
-            f, cx, cy = params[0], params[1] if len(params) > 1 else w / 2, \
-                params[2] if len(params) > 2 else h / 2
-        intr[cam_id] = {"f": f, "cx": cx - w / 2, "cy": cy - h / 2, "w": w, "h": h}
+            raise ValueError(
+                f"COLMAP camera {cam_id}: unsupported model {model!r} "
+                "(supported: SIMPLE_PINHOLE, SIMPLE_RADIAL, PINHOLE, "
+                "RADIAL, OPENCV)")
+        intr[cam_id] = {"f": f, "cx": cx - w / 2, "cy": cy - h / 2,
+                        "w": w, "h": h, "distortion": dist}
 
     rows = []
     lines = [l.strip() for l in images_txt.splitlines()
@@ -142,6 +175,6 @@ def parse_colmap(cameras_txt: str, images_txt: str) -> list[dict]:
             "cam_to_world": c2w.ravel().tolist(),
             "f": k.get("f"), "cx": k.get("cx", 0.0), "cy": k.get("cy", 0.0),
             "w": k.get("w"), "h": k.get("h"),
-            "distortion": {}, "sensor_id": cam_id,
+            "distortion": k.get("distortion", {}), "sensor_id": cam_id,
         })
     return rows

@@ -140,6 +140,34 @@ class TestCameraIO:
         np.testing.assert_allclose(c2w[:3, :3], np.eye(3), atol=1e-12)
         assert rows[0]["f"] == 500 and rows[0]["cx"] == 0.0 and rows[0]["cy"] == 0.0
 
+    def test_colmap_simple_radial_keeps_k1(self):
+        cameras_txt = "1 SIMPLE_RADIAL 640 480 500 320 240 -0.05\n"
+        images_txt = "10 1 0 0 0 0 0 0 1 shot.jpg\n0 0 -1\n"
+        rows = parse_colmap(cameras_txt, images_txt)
+        assert rows[0]["distortion"] == {"k1": -0.05}
+
+    def test_colmap_opencv_model(self):
+        cameras_txt = "1 OPENCV 640 480 500 500 320 240 -0.05 0.01 0.001 0\n"
+        images_txt = "10 1 0 0 0 0 0 0 1 shot.jpg\n0 0 -1\n"
+        rows = parse_colmap(cameras_txt, images_txt)
+        assert rows[0]["f"] == 500
+        assert rows[0]["distortion"] == {"k1": -0.05, "k2": 0.01, "p1": 0.001}
+
+    def test_colmap_rejects_anisotropic_focal(self):
+        import pytest
+
+        cameras_txt = "1 PINHOLE 640 480 500 510 320 240\n"
+        images_txt = "10 1 0 0 0 0 0 0 1 shot.jpg\n0 0 -1\n"
+        with pytest.raises(ValueError, match="fx=500.0 != fy=510.0"):
+            parse_colmap(cameras_txt, images_txt)
+
+    def test_colmap_rejects_unknown_model(self):
+        import pytest
+
+        cameras_txt = "1 FISHEYE 640 480 500 320 240\n"
+        with pytest.raises(ValueError, match="unsupported model"):
+            parse_colmap(cameras_txt, "")
+
     def test_quaternion_matrix(self):
         # 90° about z: (w,x,y,z) = (cos45, 0, 0, sin45)
         from geograypher_spark.sources.cameras_io import quaternion_to_matrix

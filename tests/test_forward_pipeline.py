@@ -51,3 +51,24 @@ def test_forward_pipeline_recovers_classes(spark, scene, tmp_path):
                 [np.array(ring) for ring in poly])[0]
             for poly in coords)
         assert hit, f"object {p['polygon_id']} centroid not in class {cls} union"
+
+
+def test_aggregate_images_n_cameras_across_classes(spark):
+    """n_cameras is the distinct cameras observing a FACE, not the max of
+    per-class camera counts: a face seen by 2 cameras voting different
+    classes must report n_cameras=2 and survive min_observations=2."""
+    from geograypher_spark.plans.pipelines import aggregate_images
+
+    rows = [
+        # face 1: cam 1 says class 10 (3 px), cam 2 says class 20 (1 px)
+        (1, 1, 10, 3), (2, 1, 20, 1),
+        # face 2: one camera only
+        (3, 2, 10, 5),
+    ]
+    pc = spark.createDataFrame(
+        rows, "camera_id long, face_id long, class_id long, pixel_count long")
+    got = {r["face_id"]: r for r in aggregate_images(pc).collect()}
+    assert got[1]["n_cameras"] == 2 and got[1]["pred_class"] == 10
+    assert got[2]["n_cameras"] == 1
+    kept = aggregate_images(pc, min_observations=2).collect()
+    assert [r["face_id"] for r in kept] == [1]

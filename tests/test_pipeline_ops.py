@@ -65,6 +65,45 @@ class TestDedup:
         for pair, j in got.items():
             assert j == pytest.approx(exact[pair])
 
+    def test_jaccard_df_cap_bounds_hot_shingle(self, spark):
+        """One stop-shingle in every doc must not force O(N²) pairs: with
+        df_cap the hot shingle is dropped, pairs sharing only it vanish,
+        and surviving pairs report the jaccard of the capped sets."""
+        hot = "aa bb cc"  # 3-gram present in all docs
+        rows = [(f"d{i}", f"aa bb cc u{i} v{i} w{i} x{i}") for i in range(12)]
+        rows += [("p1", "aa bb cc same tail here okay"),
+                 ("p2", "aa bb cc same tail here okay")]
+        docs = spark.createDataFrame(rows, "doc_id string, text string")
+        capped = DD.jaccard_pairs(docs, threshold=0.2, df_cap=5).collect()
+        got = {(r["id_a"], r["id_b"]): r["jaccard"] for r in capped}
+        # the only real near-dup pair survives, at jaccard 1.0 over the
+        # capped sets (every shared shingle that remains is shared)
+        assert got[("p1", "p2")] == 1.0
+        # d_i pairs shared ONLY hot-prefix shingles → gone
+        assert not any(k for k in got if k[0].startswith("d"))
+        # uncapped finds strictly more pairs (recall trade documented)
+        uncapped = DD.jaccard_pairs(docs, threshold=0.01).count()
+        assert uncapped > len(got)
+
+    def test_simhash_defaults_keep_pigeonhole_guarantee(self, spark):
+        """hamming-8 pair whose differing bits straddle all four 16-bit
+        blocks — the old default (n_blocks=4) silently missed it."""
+        base = 0x0123456789ABCDEF
+        # one flipped bit inside each 16-bit quarter, 8 total
+        diff = (1 << 1) | (1 << 9) | (1 << 17) | (1 << 25) | (1 << 33) \
+            | (1 << 41) | (1 << 49) | (1 << 57)
+        sims = spark.createDataFrame(
+            [("a", base), ("b", base ^ diff), ("c", ~base & (2**63 - 1))],
+            "doc_id string, simhash long")
+        pairs = {(r["id_a"], r["id_b"]): r["hamming"]
+                 for r in DD.simhash_near_pairs(sims, max_hamming=8).collect()}
+        assert pairs == {("a", "b"): 8}
+
+    def test_simhash_rejects_lossy_blocking(self, spark, docs):
+        sims = DD.simhash(docs, n=2)
+        with pytest.raises(ValueError):
+            DD.simhash_near_pairs(sims, max_hamming=8, n_blocks=4)
+
     def test_simhash_near_pairs(self, spark, docs):
         sims = DD.simhash(docs, n=2)
         pairs = {(r["id_a"], r["id_b"]): r["hamming"]
