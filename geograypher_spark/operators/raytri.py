@@ -83,12 +83,20 @@ def _pair_distance_udf():
     return seg_dist
 
 
-def _seg_dist_cols() -> "F.Column":
+def with_seg_dist(df: DataFrame, out: str = "dist") -> DataFrame:
     """Segment–segment closest distance as PURE column expressions
     (Eberly formulation, same algebra as ``camera.segment_pair_closest``).
     Runs inside whole-stage codegen — no Arrow transfer of the candidate
     set, which at 10⁶+ candidates/partition is the dominant cost of the
-    pandas-kernel variant."""
+    pandas-kernel variant.
+
+    STAGED as named intermediate columns, not one fused Column: column
+    expressions are trees, so inlining s/t (each referenced 3+ times)
+    exponentiated the expression and the generated Project blew janino's
+    64 KB method limit — Spark silently fell back to interpreted eval
+    (round-1 driver bench log). Catalyst's CollapseProject keeps
+    multi-referenced non-cheap aliases in their own projection, so each
+    codegen unit stays small and compiled."""
     def dot(u, v):
         return u[0] * v[0] + u[1] * v[1] + u[2] * v[2]
 
@@ -99,22 +107,38 @@ def _seg_dist_cols() -> "F.Column":
     d1 = [x - y for x, y in zip(a1, a0)]
     d2 = [x - y for x, y in zip(b1, b0)]
     r = [x - y for x, y in zip(a0, b0)]
-    aa = dot(d1, d1); ee = dot(d2, d2)
-    ff = dot(d2, r); cc = dot(d1, r); bb = dot(d1, d2)
-    denom = aa * ee - bb * bb
     lit0, lit1 = F.lit(0.0), F.lit(1.0)
     clamp01 = lambda c: F.least(lit1, F.greatest(lit0, c))
-    s = clamp01(F.when(denom > 1e-14 * aa * ee + 1e-300,
-                       (bb * ff - cc * ee) / denom).otherwise(lit0))
-    t_raw = F.when(ee > 0, (bb * s + ff) / ee).otherwise(lit0)
-    t = clamp01(t_raw)
-    s = F.when(t_raw != t,
-               clamp01(F.when(aa > 0, (t * bb - cc) / aa).otherwise(lit0))
-               ).otherwise(s)
-    pa = [x + d * s for x, d in zip(a0, d1)]
-    pb = [x + d * t for x, d in zip(b0, d2)]
+
+    df = df.withColumns({
+        "_aa": dot(d1, d1), "_ee": dot(d2, d2), "_ff": dot(d2, r),
+        "_cc": dot(d1, r), "_bb": dot(d1, d2)})
+    aa, ee = F.col("_aa"), F.col("_ee")
+    ff, cc, bb = F.col("_ff"), F.col("_cc"), F.col("_bb")
+    denom = aa * ee - bb * bb
+    df = df.withColumn("_s0", clamp01(
+        F.when(denom > 1e-14 * aa * ee + 1e-300,
+               (bb * ff - cc * ee) / denom).otherwise(lit0)))
+    df = df.withColumn("_traw", F.when(
+        ee > 0, (bb * F.col("_s0") + ff) / ee).otherwise(lit0))
+    df = df.withColumn("_t", clamp01(F.col("_traw")))
+    df = df.withColumn("_s", F.when(
+        F.col("_traw") != F.col("_t"),
+        clamp01(F.when(aa > 0, (F.col("_t") * bb - cc) / aa).otherwise(lit0))
+    ).otherwise(F.col("_s0")))
+    pa = [x + d * F.col("_s") for x, d in zip(a0, d1)]
+    pb = [x + d * F.col("_t") for x, d in zip(b0, d2)]
     diff = [x - y for x, y in zip(pa, pb)]
-    return F.sqrt(dot(diff, diff))
+    # + rand()*0.0 is a value-preserving (x + 0.0 == x for all x >= 0)
+    # NON-DETERMINISM TAG: PushPredicateThroughNonJoin would otherwise
+    # substitute the whole alias chain into the caller's `dist <= tau`
+    # filter and push a ~256 KB inlined predicate below every Project —
+    # the single expression that blew janino's 64 KB method limit and
+    # dropped the hot path to interpreted eval. Non-deterministic project
+    # lists are a pushdown/collapse barrier, keeping the filter above the
+    # staged, compiled projections.
+    df = df.withColumn(out, F.sqrt(dot(diff, diff)) + F.rand(42) * F.lit(0.0))
+    return df.drop("_aa", "_ee", "_ff", "_cc", "_bb", "_s0", "_traw", "_t", "_s")
 
 
 def ray_proximity_edges(
@@ -149,17 +173,17 @@ def ray_proximity_edges(
         cond.append(a["cam_a"] != b["cam_b"])
     cand = a.join(b, cond).drop("cell")
     if use_jvm_kernel:
-        dist = _seg_dist_cols()
+        scored = with_seg_dist(cand, out="dist")
     else:
         seg_dist = _pair_distance_udf()
-        dist = seg_dist(
+        scored = cand.withColumn("dist", seg_dist(
             "a_sx", "a_sy", "a_sz", "a_ex", "a_ey", "a_ez",
-            "b_sx", "b_sy", "b_sz", "b_ex", "b_ey", "b_ez")
+            "b_sx", "b_sy", "b_sz", "b_ex", "b_ey", "b_ez"))
     # multi-cell pairs compute the same distance more than once (narrow,
     # cheap); dedup AFTER the tau filter so the shuffle moves only the
     # sparse edge set, not every wide candidate row
     edges = (
-        cand.withColumn("dist", dist)
+        scored
         .filter(F.col("dist") <= tau)
         .select(
             F.col("ray_a").alias("src"), F.col("ray_b").alias("dst"),

@@ -92,49 +92,141 @@ def hyperplane_signature_udf(n_planes: int = 16, seed: int = 42):
     return sig
 
 
+def band_values_udf(n_planes: int, bands: int, seed: int = 42):
+    """Per-vector array of ``bands`` band values (contiguous groups of
+    ``n_planes//bands`` hyperplane sign bits, same grouping as splitting a
+    packed signature). Emitting band values directly (array<long>) removes
+    the 64-plane packing ceiling — n_planes scales with log2(N)."""
+    from pyspark.sql import types as T
+    from pyspark.sql.functions import pandas_udf
+
+    rows = n_planes // bands
+
+    @pandas_udf(T.ArrayType(T.LongType()))
+    def bv(vec: pd.Series) -> pd.Series:
+        if len(vec) == 0:
+            return pd.Series([], dtype=object)
+        M = np.stack(vec.to_numpy())            # (n, dim)
+        rng = np.random.default_rng(seed)
+        planes = rng.standard_normal((M.shape[1], n_planes))
+        bits = (M.astype(np.float64) @ planes) > 0   # (n, n_planes)
+        weights = 1 << np.arange(rows, dtype=np.int64)
+        vals = np.stack(
+            [bits[:, b * rows:(b + 1) * rows].astype(np.int64) @ weights
+             for b in range(bands)], axis=1)    # (n, bands)
+        return pd.Series(list(vals))
+
+    return bv
+
+
 def cosine_topk_lsh(
     embeddings: DataFrame, id_col: str = "vec_id", vec_col: str = "embedding",
-    k: int = 5, n_planes: int = 24, bands: int = 4, scale: int = 1000,
+    k: int = 5, n_planes: int | None = None, bands: int = 8,
+    scale: int = 1000, target_bucket: int = 64, n_vectors: int | None = None,
 ) -> DataFrame:
-    """Approximate top-k: hyperplane signature split into bands; vectors
-    sharing any band bucket become candidates; exact quantized cosine
-    re-rank inside candidates. Recall tunes with n_planes/bands."""
-    rows = n_planes // bands
-    sig_udf = hyperplane_signature_udf(n_planes)
+    """Approximate top-k: hyperplane band values; vectors sharing any band
+    bucket become candidates; exact quantized cosine re-rank on candidates.
+
+    SCALE SHAPE: with ``n_planes=None`` the band width auto-sizes from the
+    corpus size so the expected bucket holds ~``target_bucket`` vectors —
+    E[candidates] = bands · N²/2^rows ≈ bands · target_bucket · N, i.e.
+    LINEAR in N, not Θ(N²/2^rows) with a fixed width (round-1 used 6-bit
+    buckets: N²/64). Pass ``n_vectors`` (e.g. from table stats) to skip the
+    count job. Recall tunes with bands (OR-amplification across bands).
+
+    Each candidate pair is attributed to its FIRST matching band (a filter
+    on the two band arrays) instead of dropDuplicates — no extra shuffle of
+    the wide candidate rows; the only shuffle after the join is the final
+    per-vector top-k window over slim (id, id, sim) rows."""
+    if n_planes is None:
+        if n_vectors is None:
+            n_vectors = embeddings.count()
+        rows = max(1, int(np.ceil(np.log2(max(n_vectors, 2) / target_bucket))))
+        n_planes = rows * bands
+    else:
+        if n_planes % bands:
+            raise ValueError(f"n_planes={n_planes} not divisible by bands={bands}")
+        rows = n_planes // bands
+    bv_udf = band_values_udf(n_planes, bands)
     par = embeddings.sparkSession.sparkContext.defaultParallelism
     base = embeddings.repartition(max(par * 2, 8)).select(
         F.col(id_col).alias("vec_id"),
         quantized(F.col(vec_col), scale).alias("qv"),
-        sig_udf(F.col(vec_col)).alias("sig"),
-    ).withColumn("n2", _norm2(F.col("qv")))
-    # ONE pass: explode a band array — a union of per-band selects would
-    # re-execute the signature stage once per branch per join side
-    band_structs = F.array(*[
-        F.struct(
-            F.lit(b).alias("band_idx"),
-            F.shiftright("sig", b * rows)
-            .bitwiseAND(F.lit((1 << rows) - 1)).alias("band_val"))
-        for b in range(bands)])
-    stacked = base.select(
-        "vec_id", "qv", "n2", F.explode(band_structs).alias("_b")
-    ).select("vec_id", "qv", "n2", F.col("_b.band_idx").alias("band_idx"),
-             F.col("_b.band_val").alias("band_val"))
-    a = stacked.select(F.col("vec_id"), F.col("qv").alias("qa"),
-                       F.col("n2").alias("na"), "band_idx", "band_val")
-    b_ = stacked.select(F.col("vec_id").alias("neighbor_id"),
-                        F.col("qv").alias("qb"), F.col("n2").alias("nb"),
-                        "band_idx", "band_val")
-    cand = (
-        a.join(b_, ["band_idx", "band_val"])
-        .filter(F.col("vec_id") != F.col("neighbor_id"))
-        .dropDuplicates(["vec_id", "neighbor_id"])
+        bv_udf(F.col(vec_col)).alias("bv"),
     )
-    sim = (_dot(F.col("qa"), F.col("qb")).cast("double")
-           / F.sqrt(F.col("na").cast("double") * F.col("nb").cast("double")))
+    # ONE pass: posexplode the band array — a union of per-band selects
+    # would re-execute the signature stage once per branch per join side
+    stacked = base.select(
+        "vec_id", "qv", "bv",
+        F.posexplode("bv").alias("band_idx", "band_val"))
+
+    from pyspark.sql import types as T
+
+    id_type = embeddings.schema[id_col].dataType
+    out_schema = T.StructType([
+        T.StructField("vec_id", id_type),
+        T.StructField("neighbor_id", id_type),
+        T.StructField("sim", T.DoubleType()),
+    ])
+    kk = int(k)
+
+    def bucket_topk(key: tuple, pdf: pd.DataFrame) -> pd.DataFrame:
+        """All-pairs exact cosine inside ONE bucket, vectorized (matmul at
+        memory bandwidth, not per-pair expression eval). Emits each query's
+        bucket-local top-k only: a neighbor absent from the query's top-k
+        of every shared bucket is dominated by ≥k better candidates there,
+        so it can never enter the global top-k — bucket-local truncation
+        is lossless. Pairs matching in several bands are attributed to the
+        FIRST matching band (vectorized band-array compare), so each pair
+        is emitted exactly once — dedup as a kernel filter, no shuffle."""
+        band_idx = int(key[0])
+        m = len(pdf)
+        empty = pd.DataFrame({"vec_id": pd.Series([], dtype=object),
+                              "neighbor_id": pd.Series([], dtype=object),
+                              "sim": pd.Series([], dtype="float64")})
+        if m < 2:
+            return empty
+        Q = np.stack(pdf["qv"].to_numpy()).astype(np.float64)  # ints, exact
+        n2 = (Q * Q).sum(axis=1)
+        ids = pdf["vec_id"].to_numpy()
+        B = np.stack(pdf["bv"].to_numpy()) if band_idx > 0 else None
+        k_eff = min(kk, m - 1)
+        outs = []
+        # row-chunked so a hot bucket never allocates an m×m matrix
+        chunk = max(1, min(m, 2_000_000 // max(m, 1) + 1, 4096))
+        for lo in range(0, m, chunk):
+            hi = min(lo + chunk, m)
+            # dot / sqrt(na*nb): the exact op sequence of the brute-force
+            # path (ints exact in double, product < 2^53, one rounded sqrt
+            # + one rounded divide) — bit-identical across engines
+            sims = (Q[lo:hi] @ Q.T) / np.sqrt(np.outer(n2[lo:hi], n2))
+            c = hi - lo
+            ok = np.ones((c, m), dtype=bool)
+            ok[np.arange(c), np.arange(lo, hi)] = False  # self
+            if band_idx > 0:
+                earlier = (
+                    B[lo:hi, None, :band_idx] == B[None, :, :band_idx]
+                ).any(axis=-1)
+                ok &= ~earlier
+            sims = np.where(ok, sims, -np.inf)
+            idx = np.lexsort(
+                (np.broadcast_to(ids, (c, m)), -sims), axis=-1)[:, :k_eff]
+            rowi = np.repeat(np.arange(c), k_eff)
+            coli = idx.ravel()
+            s = sims[rowi, coli]
+            valid = np.isfinite(s)
+            outs.append(pd.DataFrame({
+                "vec_id": ids[lo:hi][rowi[valid]],
+                "neighbor_id": ids[coli[valid]],
+                "sim": s[valid]}))
+        return pd.concat(outs) if outs else empty
+
+    local = stacked.groupBy("band_idx", "band_val").applyInPandas(
+        bucket_topk, schema=out_schema)
+    # global top-k over ≤ bands·k slim rows per query — tiny window shuffle
     w = Window.partitionBy("vec_id").orderBy(F.desc("sim"), F.asc("neighbor_id"))
     return (
-        cand.withColumn("sim", sim)
-        .withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= k)
+        local.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= kk)
         .select("vec_id", "neighbor_id", "rank", "sim")
     )

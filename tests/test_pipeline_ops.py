@@ -137,6 +137,43 @@ class TestSimilarity:
             got_order = [n for _, n in sorted(by_q[q])]
             assert got_order == order.tolist(), f"query {q}"
 
+    def test_lsh_sims_exact_and_pairs_unique(self, spark):
+        """The per-bucket matmul must reproduce the brute-force quantized
+        cosine BIT-EXACTLY, and first-match band attribution must emit
+        each (query, neighbor) pair at most once (a duplicated pair would
+        consume two top-k slots)."""
+        rng = np.random.default_rng(11)
+        V = rng.normal(size=(80, 16)).astype(np.float32)
+        pdf = pd.DataFrame({"vec_id": np.arange(80, dtype=np.int64),
+                            "embedding": list(V)})
+        df = spark.createDataFrame(pdf)
+        got = SIM.cosine_topk_lsh(df, k=4, n_planes=12, bands=4).collect()
+        pairs = [(r["vec_id"], r["neighbor_id"]) for r in got]
+        assert len(pairs) == len(set(pairs))
+        Q = np.round(V.astype(np.float64) * 1000)
+        n2 = (Q * Q).sum(axis=1)
+        for r in got:
+            q, n = r["vec_id"], r["neighbor_id"]
+            expect = (Q[q] @ Q[n]) / np.sqrt(n2[q] * n2[n])
+            assert r["sim"] == expect  # exact, not approx
+
+    def test_lsh_autosizing_scales_bits_with_n(self, spark):
+        """Band width grows with log2(N) so expected bucket size stays
+        ~target_bucket — candidates linear in N, not quadratic."""
+        rng = np.random.default_rng(12)
+        V = rng.normal(size=(256, 8)).astype(np.float32)
+        pdf = pd.DataFrame({"vec_id": np.arange(256, dtype=np.int64),
+                            "embedding": list(V)})
+        df = spark.createDataFrame(pdf)
+        # auto path runs end-to-end and returns k rows per query
+        out = SIM.cosine_topk_lsh(df, k=2, target_bucket=16)
+        counts = out.groupBy("vec_id").count().collect()
+        assert all(r["count"] <= 2 for r in counts)
+        # the sizing rule itself: 4x the vectors → +2 bits per band
+        import math
+        bits = lambda n, t: max(1, math.ceil(math.log2(max(n, 2) / t)))
+        assert bits(256, 16) == 4 and bits(1024, 16) == 6
+
     def test_lsh_recall_reasonable(self, spark):
         rng = np.random.default_rng(10)
         # clustered vectors → high recall within clusters
