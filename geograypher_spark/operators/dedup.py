@@ -173,12 +173,28 @@ def minhash_dedup(
 
 def simhash(
     docs: DataFrame, id_col: str = "doc_id", text_col: str = "text", n: int = 2,
+    hash_fn: str = "xxhash64",
 ) -> DataFrame:
-    """→ (id, simhash:long): 64-bit SimHash over word n-grams using JVM
-    xxhash64 (whole-stage codegen; no Python). Near-dups share most bits;
-    pair by bucketing on bit-blocks then hamming-filter."""
+    """→ (id, simhash:long): 64-bit SimHash over word n-grams. Near-dups
+    share most bits; pair by bucketing on bit-blocks then hamming-filter.
+
+    ``hash_fn``: "xxhash64" (default — JVM whole-stage codegen, the fast
+    path) or "md5_64" (first 16 hex chars of md5 as a signed int64 —
+    engine-portable, bit-identical in any SQL engine with md5; used by the
+    DuckDB correctness oracle)."""
     sh = word_shingles(docs, id_col, text_col, n)
-    h = sh.withColumn("h", F.xxhash64("shingle"))
+    if hash_fn == "xxhash64":
+        h = sh.withColumn("h", F.xxhash64("shingle"))
+    elif hash_fn == "md5_64":
+        md = F.md5("shingle")
+        hi = F.conv(F.substring(md, 1, 8), 16, 10).cast("long")
+        lo = F.conv(F.substring(md, 9, 8), 16, 10).cast("long")
+        # signed-wrap the high half so hi*2^32 + lo stays in int64 — the
+        # same arithmetic a checked-overflow SQL engine can run
+        hi_signed = hi - F.when(hi >= F.lit(1 << 31), F.lit(1 << 32)).otherwise(F.lit(0))
+        h = sh.withColumn("h", hi_signed * F.lit(1 << 32) + lo)
+    else:
+        raise ValueError(f"unknown hash_fn {hash_fn!r}")
     # vote per bit: sum(+1/-1) over shingles, sign → bit
     bits = [
         F.sum(

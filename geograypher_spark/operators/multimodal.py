@@ -30,11 +30,16 @@ MEDIA_SCHEMA = T.StructType([
 
 
 def _fake_decode(payload: bytes, h: int, w: int) -> np.ndarray:
-    """Deterministic fake 'decoder': uint8 (h, w, 3) seeded from payload
-    sha256 — stable across executors/runs. STUB for the real codec."""
-    seed = int.from_bytes(hashlib.sha256(payload).digest()[:8], "little")
-    rng = np.random.default_rng(seed)
-    return rng.integers(0, 256, size=(h, w, 3), dtype=np.uint8)
+    """Deterministic fake 'decoder': uint8 (h, w, 3) derived from the md5
+    of the payload via a closed-form integer recurrence — stable across
+    executors/runs AND expressible in plain SQL (pixel p =
+    (s*(p+1) + p*p) mod 256 with s = first 8 md5 hex chars as int), so the
+    DuckDB oracle can verify pooled features exactly. STUB for the real
+    codec."""
+    s = int(hashlib.md5(payload).hexdigest()[:8], 16)
+    p = np.arange(h * w * 3, dtype=np.int64)
+    vals = (s * (p + 1) + p * p) % 256
+    return vals.reshape(h, w, 3).astype(np.uint8)
 
 
 def decode_image(payload: bytes, h: int = 64, w: int = 64, fake: bool = False) -> np.ndarray:

@@ -92,6 +92,23 @@ def hyperplane_signature_udf(n_planes: int = 16, seed: int = 42):
     return sig
 
 
+def lsh_planes(dim: int, n_planes: int, seed: int = 42) -> np.ndarray:
+    """INTEGER-quantized random hyperplanes (round(gauss*1000)): sign bits
+    come from exact integer dot products of the quantized vector and the
+    quantized plane — order-free, bit-identical in any engine, so the
+    DuckDB oracle can embed these planes as literals and reproduce the
+    bucketing exactly (float matmul sign would depend on summation order)."""
+    rng = np.random.default_rng(seed)
+    return np.round(rng.standard_normal((dim, n_planes)) * 1000.0)
+
+
+def _plane_bits(M: np.ndarray, n_planes: int, seed: int) -> np.ndarray:
+    Q = np.round(M.astype(np.float64) * 1000.0)
+    planes = lsh_planes(M.shape[1], n_planes, seed)
+    # integer-valued doubles: |dot| < dim * 3e3 * 3e3 * margin << 2^53, exact
+    return (Q @ planes) > 0
+
+
 def band_values_udf(n_planes: int, bands: int, seed: int = 42):
     """Per-vector array of ``bands`` band values (contiguous groups of
     ``n_planes//bands`` hyperplane sign bits, same grouping as splitting a
@@ -107,9 +124,7 @@ def band_values_udf(n_planes: int, bands: int, seed: int = 42):
         if len(vec) == 0:
             return pd.Series([], dtype=object)
         M = np.stack(vec.to_numpy())            # (n, dim)
-        rng = np.random.default_rng(seed)
-        planes = rng.standard_normal((M.shape[1], n_planes))
-        bits = (M.astype(np.float64) @ planes) > 0   # (n, n_planes)
+        bits = _plane_bits(M, n_planes, seed)   # (n, n_planes)
         weights = 1 << np.arange(rows, dtype=np.int64)
         vals = np.stack(
             [bits[:, b * rows:(b + 1) * rows].astype(np.int64) @ weights

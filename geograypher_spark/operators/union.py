@@ -34,6 +34,7 @@ UNION_SCHEMA = T.StructType([
     T.StructField("geometry_wkb", T.BinaryType()),
     T.StructField("area", T.DoubleType()),
     T.StructField("n_rings", T.IntegerType()),
+    T.StructField("n_boundary_edges", T.LongType()),
 ])
 
 
@@ -125,7 +126,8 @@ def face_class_union(
             return pd.DataFrame({"class_id": pd.Series([], dtype="float64"),
                                  "geometry_wkb": pd.Series([], dtype=object),
                                  "area": pd.Series([], dtype="float64"),
-                                 "n_rings": pd.Series([], dtype="int32")})
+                                 "n_rings": pd.Series([], dtype="int32"),
+                                 "n_boundary_edges": pd.Series([], dtype="int64")})
         # CCW rings are exteriors, CW are holes; assign each hole to the
         # smallest exterior containing its first vertex
         exts = [r for r in rings if geom.ring_signed_area(r) > 0]
@@ -142,6 +144,7 @@ def face_class_union(
         area = sum(geom.polygon_area(rings_) for rings_ in polys)
         return pd.DataFrame({
             "class_id": [key[0]], "geometry_wkb": [wkb],
-            "area": [area], "n_rings": [len(rings)]})
+            "area": [area], "n_rings": [len(rings)],
+            "n_boundary_edges": [sum(len(r) - 1 for r in rings)]})
 
     return with_coords.groupBy("class_id").applyInPandas(chain, schema=UNION_SCHEMA)

@@ -610,7 +610,7 @@ FROM documents
 
 
 # ---------------------------------------------------------------------------
-# Non-SQL-expressible ops (rows-only checks): scene-fixture pipelines
+# Render / union / pipeline ops on ANALYTIC fixtures (closed-form oracles)
 # ---------------------------------------------------------------------------
 
 def _scene(spark):
@@ -620,20 +620,100 @@ def _scene(spark):
 
 
 def q_visibility_zbuffer(spark, sf_dir):
-    """J1: the z-buffer visibility join on the deterministic scene."""
+    """J1: the z-buffer visibility join on the analytic flat mesh — the
+    DuckDB oracle computes the pixel→face mapping in closed form
+    (sources/analytic.py exactness argument; occlusion/distortion paths
+    are covered by the pixel-exact pytest oracles)."""
     from ..operators import visibility as V
+    from ..sources import analytic as AN
 
-    verts, faces, polys, cams = _scene(spark)
-    return V.visibility_join(cams, faces).orderBy("camera_id", "face_id")
+    faces, cams = AN.flat_mesh_spark(spark)
+    return V.visibility_join(cams, faces)
+
+
+_UNION_G = 16  # quads per side of the union fixture; verts at INTEGER coords
+
+
+def _union_grid_spark(spark):
+    """Integer-coordinate grid mesh with a class-1 hole inside class 0 —
+    integer shoelace sums are exact in both engines, and the boundary-edge
+    set is computable in SQL (undirected edge used by exactly one face)."""
+    import pandas as pd
+
+    G = _UNION_G
+    ii, jj = np.meshgrid(np.arange(G), np.arange(G), indexing="ij")
+    ii, jj = ii.ravel(), jj.ravel()
+    vid = lambda i, j: (i * (G + 1) + j).astype(np.int64)
+    cls = np.where((ii >= 4) & (ii < 8) & (jj >= 4) & (jj < 8), 1, 0)
+    # two CCW faces per quad: (a,b,c) and (a,c,d)
+    a, b = vid(ii, jj), vid(ii + 1, jj)
+    c, d = vid(ii + 1, jj + 1), vid(ii, jj + 1)
+
+    def tri(v0, v1, v2):
+        return pd.DataFrame({
+            "v0": v0, "v1": v1, "v2": v2,
+            "x0": (v0 // (G + 1)).astype("float64"), "y0": (v0 % (G + 1)).astype("float64"),
+            "x1": (v1 // (G + 1)).astype("float64"), "y1": (v1 % (G + 1)).astype("float64"),
+            "x2": (v2 // (G + 1)).astype("float64"), "y2": (v2 % (G + 1)).astype("float64"),
+            "class_id": cls.astype("int64"),
+        })
+
+    faces = pd.concat([tri(a, b, c), tri(a, c, d)], ignore_index=True)
+    vids = np.arange((G + 1) * (G + 1), dtype=np.int64)
+    verts = pd.DataFrame({
+        "vert_id": vids,
+        "x": (vids // (G + 1)).astype("float64"),
+        "y": (vids % (G + 1)).astype("float64")})
+    return spark.createDataFrame(faces), spark.createDataFrame(verts)
 
 
 def q_face_class_union(spark, sf_dir):
-    """A6: per-class footprint union (areas rounded for stability)."""
+    """A6: per-class footprint union on the integer grid mesh. area*2 is
+    an exact integer (shoelace over integer coords), so the kernel's float
+    sum and the oracle's SQL sum agree exactly; boundary-edge count checks
+    the edge-parity stage. Ring topology (incl. the hole) is covered by
+    tests/test_union.py."""
     from ..operators.union import face_class_union
 
-    verts, faces, polys, cams = _scene(spark)
-    return face_class_union(faces, verts).select(
-        "class_id", F.round("area", 9).alias("area"), "n_rings")
+    faces, verts = _union_grid_spark(spark)
+    u = face_class_union(faces, verts)
+    return u.select(
+        "class_id",
+        F.round(F.col("area") * 2).cast("long").alias("area_x2"),
+        "n_boundary_edges")
+
+
+def _union_edges_sql() -> str:
+    G = _UNION_G
+    legs = []
+    for v0, v1 in [("a", "b"), ("b", "c"), ("c", "a"),
+                   ("a", "c"), ("c", "d"), ("d", "a")]:
+        legs.append(f"SELECT class_id, {v0} AS u, {v1} AS v FROM quads")
+    return f"""
+q AS (SELECT i.generate_series AS i, j.generate_series AS j
+      FROM generate_series(0, {G - 1}) i, generate_series(0, {G - 1}) j),
+quads AS (
+  SELECT CASE WHEN i >= 4 AND i < 8 AND j >= 4 AND j < 8 THEN 1 ELSE 0 END AS class_id,
+         i * {G + 1} + j AS a, (i + 1) * {G + 1} + j AS b,
+         (i + 1) * {G + 1} + (j + 1) AS c, i * {G + 1} + (j + 1) AS d
+  FROM q),
+edges AS ({' UNION ALL '.join(legs)}),
+boundary AS (
+  SELECT class_id, min(u) AS u, min(v) AS v
+  FROM edges
+  GROUP BY class_id, least(u, v), greatest(u, v)
+  HAVING count(*) = 1
+)"""
+
+
+SQL_FACE_CLASS_UNION = f"""
+WITH {_union_edges_sql()}
+SELECT CAST(class_id AS DOUBLE) AS class_id,
+       CAST(sum((u // {_UNION_G + 1}) * (v % {_UNION_G + 1})
+              - (v // {_UNION_G + 1}) * (u % {_UNION_G + 1})) AS BIGINT) AS area_x2,
+       count(*) AS n_boundary_edges
+FROM boundary GROUP BY 1
+"""
 
 
 def q_triangulate(spark, sf_dir):
@@ -644,7 +724,7 @@ def q_triangulate(spark, sf_dir):
     verts, faces, polys, cams = _scene(spark)
     from ..sources.scene import make_scene
     scene = make_scene(seed=42)
-    targets = np.array([[3.0, 3.0, 0.5], [7.0, 7.0, 0.8], [5.0, 2.0, 0.2]])
+    targets = np.array([[3.0, 3.7, 0.5], [7.3, 6.1, 0.8], [5.1, 2.0, 0.2]])
     rows = []
     rid = 0
     for t_idx, tgt in enumerate(targets):
@@ -654,14 +734,18 @@ def q_triangulate(spark, sf_dir):
                 tgt[None, :], c2w, c["f"], c["cx"], c["cy"], c["w"], c["h"])
             if not cam_fn.in_image_mask(px, py, z, c["w"], c["h"])[0]:
                 continue
+            # clip each ray just past its target: a fixed long length lets
+            # rays aimed at DIFFERENT targets converge far behind the
+            # scene and merge their components (round-1 fixture bug)
+            length = float(np.linalg.norm(tgt - c2w[:3, 3])) + 0.5
             s, e = cam_fn.cast_rays(px, py, c2w, c["f"], c["cx"], c["cy"],
-                                    c["w"], c["h"], length=25.0)
+                                    c["w"], c["h"], length=length)
             rows.append({"ray_id": rid, "camera_id": c["camera_id"],
                          "sx": s[0, 0], "sy": s[0, 1], "sz": s[0, 2],
                          "ex": e[0, 0], "ey": e[0, 1], "ez": e[0, 2]})
             rid += 1
     rays = spark.createDataFrame(pd.DataFrame(rows))
-    edges = RT.ray_proximity_edges(rays, tau=0.05)
+    edges = RT.ray_proximity_edges(rays, tau=0.005)
     comp = RT.connected_components(edges)
     out = RT.triangulate_components(rays, comp)
     return out.select(
@@ -670,39 +754,141 @@ def q_triangulate(spark, sf_dir):
         F.round("pz", 6).alias("pz"))
 
 
+# Analytic oracle: every ray is CONSTRUCTED through its target point, so
+# each component's all-pairs closest-point mean is exactly the target
+# (round(6) absorbs double noise ~1e-12); component = min ray id of the
+# target's 9-camera bundle; ray ids are assigned target-major.
+SQL_TRIANGULATE = """
+SELECT CAST(component AS BIGINT) AS component,
+       CAST(n_rays AS INTEGER) AS n_rays, px, py, pz
+FROM (VALUES (0, 9, 3.0, 3.7, 0.5),
+             (9, 9, 7.3, 6.1, 0.8),
+             (18, 9, 5.1, 2.0, 0.2)) t(component, n_rays, px, py, pz)
+"""
+
+
 def q_simhash(spark, sf_dir):
+    """SimHash with the engine-portable md5_64 hash family so the oracle
+    reproduces it bit-for-bit (the xxhash64 fast path is pytest-covered)."""
     docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
-    return DD.simhash(docs, n=2)
+    return DD.simhash(docs, n=2, hash_fn="md5_64")
+
+
+def _simhash_oracle_sql() -> str:
+    """64 bit votes (+1/−1 per distinct bigram) → sign → packed int64.
+    Bit 63 packs as the int64 MIN term so no unsigned arithmetic is needed."""
+    h_expr = ("(('0x' || substr(md5(shingle), 1, 8))::BIGINT "
+              "- CASE WHEN ('0x' || substr(md5(shingle), 1, 8))::BIGINT >= 2147483648 "
+              "THEN 4294967296 ELSE 0 END) * 4294967296 "
+              "+ ('0x' || substr(md5(shingle), 9, 8))::BIGINT")
+    votes = ", ".join(
+        f"sum(CASE WHEN (h >> {i}) & 1 = 1 THEN 1 ELSE -1 END) AS b{i}"
+        for i in range(64))
+    pack_terms = " + ".join(
+        f"CASE WHEN b{i} > 0 THEN {1 << i} ELSE 0 END" for i in range(63))
+    pack = (f"{pack_terms} + CASE WHEN b63 > 0 "
+            f"THEN -9223372036854775808 ELSE 0 END")
+    return f"""
+WITH words AS (SELECT doc_id, generate_subscripts(l, 1) AS pos, unnest(l) AS w
+               FROM (SELECT doc_id, string_split(text, ' ') AS l FROM documents)),
+led AS (SELECT doc_id, w,
+        lead(w, 1) OVER (PARTITION BY doc_id ORDER BY pos) AS w1
+        FROM words),
+shingles AS (SELECT DISTINCT doc_id, w || ' ' || w1 AS shingle
+             FROM led WHERE w1 IS NOT NULL),
+hashed AS (SELECT doc_id, {h_expr} AS h FROM shingles),
+votes AS (SELECT doc_id, {votes} FROM hashed GROUP BY doc_id)
+SELECT doc_id, {pack} AS simhash FROM votes
+"""
+
+
+_ANN_N_PLANES = 16
+_ANN_BANDS = 4
+_ANN_DIM = 64  # embeddings.embedding width in the driver testdata
 
 
 def q_ann_lsh(spark, sf_dir):
+    """Fixed 16-plane / 4-band configuration (not auto-sized) so the oracle
+    can embed the SAME integer-quantized hyperplanes as SQL literals."""
     emb = _t(spark, sf_dir, "embeddings")
-    return SIM.cosine_topk_lsh(emb, k=3).select("vec_id", "neighbor_id", "rank")
+    return SIM.cosine_topk_lsh(
+        emb, k=3, n_planes=_ANN_N_PLANES, bands=_ANN_BANDS,
+    ).select("vec_id", "neighbor_id", "rank")
+
+
+def _ann_lsh_oracle_sql() -> str:
+    """The full LSH top-k in SQL: integer plane dots (exact, order-free) →
+    band values → bucket self-join → exact quantized cosine → window top-k.
+    The engine's per-bucket top-k truncation is lossless (see
+    similarity.cosine_topk_lsh), so global top-k here is the same set."""
+    planes = SIM.lsh_planes(_ANN_DIM, _ANN_N_PLANES)  # (dim, n_planes) ints
+    rows = _ANN_N_PLANES // _ANN_BANDS
+    dot_cols = ", ".join(
+        "list_dot_product(qv, ["
+        + ", ".join(str(int(planes[d, j])) for d in range(_ANN_DIM))
+        + f"]) AS d{j}"
+        for j in range(_ANN_N_PLANES))
+    band_cols = ", ".join(
+        "(" + " + ".join(
+            f"CASE WHEN d{b * rows + i} > 0 THEN {1 << i} ELSE 0 END"
+            for i in range(rows)) + f") AS band{b}"
+        for b in range(_ANN_BANDS))
+    banded = " UNION ALL ".join(
+        f"SELECT vec_id, qv, {b} AS band_idx, band{b} AS band_val FROM bands"
+        for b in range(_ANN_BANDS))
+    return f"""
+WITH q AS (SELECT vec_id,
+             list_transform(embedding,
+               x -> round(CAST(x AS DOUBLE) * 1000)) AS qv
+           FROM embeddings),
+dots AS (SELECT vec_id, qv, {dot_cols} FROM q),
+bands AS (SELECT vec_id, qv, {band_cols} FROM dots),
+banded AS ({banded}),
+pairs AS (SELECT DISTINCT a.vec_id AS vec_id, b.vec_id AS neighbor_id
+          FROM banded a JOIN banded b USING (band_idx, band_val)
+          WHERE a.vec_id <> b.vec_id),
+sims AS (SELECT p.vec_id, p.neighbor_id,
+           list_dot_product(qa.qv, qb.qv)
+             / sqrt(list_dot_product(qa.qv, qa.qv)
+                    * list_dot_product(qb.qv, qb.qv)) AS sim
+         FROM pairs p JOIN q qa ON qa.vec_id = p.vec_id
+                      JOIN q qb ON qb.vec_id = p.neighbor_id),
+ranked AS (SELECT vec_id, neighbor_id,
+             row_number() OVER (PARTITION BY vec_id
+                                ORDER BY sim DESC, neighbor_id ASC) AS rank
+           FROM sims)
+SELECT vec_id, neighbor_id, CAST(rank AS BIGINT) AS rank
+FROM ranked WHERE rank <= 3
+"""
 
 
 def q_rasterize_scene(spark, sf_dir):
-    """A10/S10: top-down tile rasterization of the scene's labeled faces."""
+    """A10/S10: top-down tile rasterization of the analytic flat mesh —
+    the oracle maps every tile-pixel center to its face class in closed
+    form (z-argmax/occlusion is covered by pytest on stacked squares)."""
     from ..operators import tiles as TL
+    from ..sources import analytic as AN
 
-    verts, faces, polys, cams = _scene(spark)
-    grid = TL.TileGrid(0.0, 10.0, 0.05, 64)
-    return TL.rasterize_face_labels(
-        faces.filter(F.col("class_id").isNotNull()), grid)
+    faces, cams = AN.flat_mesh_spark(spark)
+    grid = TL.TileGrid(AN.GRID_X0, AN.GRID_Y0, AN.GRID_GSD, AN.GRID_TILE_PX)
+    return TL.rasterize_face_labels(faces, grid)
 
 
 def q_forward_pipeline(spark, sf_dir):
-    """The aggregate_images entrypoint end-to-end on the scene: visibility
-    z-buffer → LookUp segmentation → per-face weighted argmax."""
+    """The aggregate_images entrypoint end-to-end on the analytic mesh:
+    visibility z-buffer → LookUp segmentation → per-face weighted argmax —
+    the oracle recomputes everything from the closed-form pixel→face map."""
     from ..plans.pipelines import forward_pipeline
+    from ..sources import analytic as AN
 
-    verts, faces, polys, cams = _scene(spark)
-    truth = faces.select("face_id", "class_id").filter(
-        F.col("class_id").isNotNull())
-    return forward_pipeline(spark, cams, faces, verts, truth)
+    faces, cams = AN.flat_mesh_spark(spark)
+    truth = faces.select("face_id", "class_id")
+    return forward_pipeline(spark, cams, faces, None, truth)
 
 
 def q_multimodal_features(spark, sf_dir):
-    """Multimodal plumbing: stub decode → pooled features (deterministic)."""
+    """Multimodal plumbing: stub decode → pooled features (deterministic,
+    SQL-expressible: pixel p = (s*(p+1) + p*p) mod 256, s from md5)."""
     from ..operators import multimodal as MM
 
     docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
@@ -714,6 +900,23 @@ def q_multimodal_features(spark, sf_dir):
     return MM.image_features(media).select(
         "media_ref", "height", "width",
         F.round("mean_r", 6).alias("mean_r"))
+
+
+SQL_MULTIMODAL_FEATURES = """
+WITH seeds AS (
+  SELECT doc_id, ('0x' || substr(md5(text), 1, 8))::BIGINT AS s
+  FROM documents
+),
+chan0 AS (
+  SELECT doc_id, (s * (3 * t.generate_series + 1)
+                  + 9 * t.generate_series * t.generate_series) % 256 AS val
+  FROM seeds, generate_series(0, 4095) t
+)
+SELECT 'img://' || doc_id AS media_ref,
+       CAST(64 AS INTEGER) AS height, CAST(64 AS INTEGER) AS width,
+       round(CAST(sum(val) AS DOUBLE) / 4096, 6) AS mean_r
+FROM chan0 GROUP BY doc_id
+"""
 
 
 # ---------------------------------------------------------------------------
@@ -777,4 +980,25 @@ ORACLES: dict[str, str] = {
     "lang_id": SQL_LANG_ID,
     "fingerprint": SQL_FINGERPRINT,
     "token_counts": SQL_TOKEN_COUNTS,
+    # round-2 oracles for the formerly rows-only kernels: analytic fixtures
+    # whose expected output is computable in closed form (no pinned values)
+    "visibility_zbuffer": None,   # filled below (lazy import of analytic)
+    "face_class_union": SQL_FACE_CLASS_UNION,
+    "triangulate": SQL_TRIANGULATE,
+    "simhash": _simhash_oracle_sql(),
+    "ann_lsh": _ann_lsh_oracle_sql(),
+    "rasterize_scene": None,
+    "forward_pipeline": None,
+    "multimodal_features": SQL_MULTIMODAL_FEATURES,
 }
+
+
+def _fill_analytic_oracles() -> None:
+    from ..sources import analytic as AN
+
+    ORACLES["visibility_zbuffer"] = AN.SQL_VISIBILITY_ANALYTIC
+    ORACLES["rasterize_scene"] = AN.rasterize_oracle_sql()
+    ORACLES["forward_pipeline"] = AN.forward_oracle_sql()
+
+
+_fill_analytic_oracles()

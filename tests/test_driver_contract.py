@@ -81,6 +81,10 @@ def test_every_query_has_runnable_callable(contract, spark):
     "doc_roundtrip", "dedup_exact", "dedup_jaccard", "minhash_signatures",
     "lsh_candidates", "ann_cosine", "text_quality", "lang_id",
     "fingerprint", "token_counts",
+    # round-2: formerly rows-only kernels, now with computed oracles
+    # (analytic fixtures / portable hashes / integer-exact arithmetic)
+    "visibility_zbuffer", "face_class_union", "triangulate", "simhash",
+    "ann_lsh", "rasterize_scene", "multimodal_features", "forward_pipeline",
 ])
 def test_query_matches_oracle(contract, spark, duck, name):
     q = contract.queries()[name]
@@ -90,10 +94,5 @@ def test_query_matches_oracle(contract, spark, duck, name):
     _compare(spark_pdf, duck_pdf, name)
 
 
-@pytest.mark.parametrize("name", [
-    "visibility_zbuffer", "face_class_union", "triangulate", "simhash",
-    "ann_lsh", "rasterize_scene", "multimodal_features", "forward_pipeline",
-])
-def test_rows_only_queries_run(contract, spark, name):
-    df = contract.queries()[name](spark, SF_DIR)
-    assert df.count() > 0
+def test_every_query_has_oracle(contract):
+    assert set(contract.oracle_sql()) == set(contract.queries())
