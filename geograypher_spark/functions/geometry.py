@@ -217,6 +217,82 @@ def clip_ring_convex(subject: np.ndarray, clipper: np.ndarray) -> np.ndarray:
     return out
 
 
+def clip_ring_halfplane(
+    subject: np.ndarray, a: np.ndarray, b: np.ndarray, keep_left: bool,
+) -> np.ndarray:
+    """Clip a convex ring by the line through a→b: keep the side left of
+    the edge (``keep_left``) or right of it. One Sutherland–Hodgman pass —
+    the building block of convex-decomposition polygon difference."""
+    out = np.asarray(subject, dtype=np.float64)
+    if len(out) and np.array_equal(out[0], out[-1]):
+        out = out[:-1]
+    if len(out) == 0:
+        return np.empty((0, 2))
+    ex, ey = b[0] - a[0], b[1] - a[1]
+    side = ex * (out[:, 1] - a[1]) - ey * (out[:, 0] - a[0])
+    if not keep_left:
+        side = -side
+    nxt = np.roll(out, -1, axis=0)
+    side_n = np.roll(side, -1)
+    new_pts = []
+    for j in range(len(out)):
+        cur_in, nxt_in = side[j] >= 0, side_n[j] >= 0
+        if cur_in:
+            new_pts.append(out[j])
+        if cur_in != nxt_in:
+            d = side[j] - side_n[j]
+            t = side[j] / d if d != 0 else 0.0
+            new_pts.append(out[j] + t * (nxt[j] - out[j]))
+    return np.asarray(new_pts) if new_pts else np.empty((0, 2))
+
+
+def convex_pieces_minus_triangle(
+    pieces: list[np.ndarray], tri: np.ndarray, min_area: float = 1e-12,
+) -> list[np.ndarray]:
+    """Subtract one CCW triangle from a set of convex pieces → convex
+    pieces. Per piece: walk the triangle's 3 edges; the part OUTSIDE edge k
+    (but inside edges <k) is kept, the rest continues — a disjoint convex
+    decomposition of piece ∖ tri. Exact up to S-H float intersections."""
+    t = np.asarray(tri, dtype=np.float64)
+    if ring_signed_area(np.vstack([t, t[:1]])) < 0:
+        t = t[::-1]
+    txmin, tymin = t[:, 0].min(), t[:, 1].min()
+    txmax, tymax = t[:, 0].max(), t[:, 1].max()
+    out: list[np.ndarray] = []
+    for P in pieces:
+        # bbox reject: untouched pieces pass through unchanged
+        if (P[:, 0].max() <= txmin or P[:, 0].min() >= txmax
+                or P[:, 1].max() <= tymin or P[:, 1].min() >= tymax):
+            out.append(P)
+            continue
+        remaining = P
+        for k in range(3):
+            a, b = t[k], t[(k + 1) % 3]
+            outside = clip_ring_halfplane(remaining, a, b, keep_left=False)
+            if len(outside) >= 3 and abs(ring_signed_area(
+                    np.vstack([outside, outside[:1]]))) > min_area:
+                out.append(outside)
+            remaining = clip_ring_halfplane(remaining, a, b, keep_left=True)
+            if len(remaining) < 3:
+                break
+        # `remaining` = P ∩ tri → subtracted (dropped)
+    return out
+
+
+def polygon_region_pieces(polys: list[list[np.ndarray]],
+                          min_area: float = 1e-12) -> list[np.ndarray]:
+    """(Multi)Polygon with holes → disjoint convex pieces covering exactly
+    its region: triangulate each exterior, subtract its hole triangles."""
+    pieces: list[np.ndarray] = []
+    for rings in polys:
+        part = [tr for tr in triangulate_ring(rings[0])]
+        for hole in rings[1:]:
+            for ht in triangulate_ring(hole):
+                part = convex_pieces_minus_triangle(part, ht, min_area)
+        pieces.extend(part)
+    return pieces
+
+
 def clip_area_convex(subject: np.ndarray, clipper: np.ndarray) -> float:
     clipped = clip_ring_convex(subject, clipper)
     if len(clipped) < 3:

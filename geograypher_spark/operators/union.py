@@ -148,3 +148,65 @@ def face_class_union(
             "n_boundary_edges": [sum(len(r) - 1 for r in rings)]})
 
     return with_coords.groupBy("class_id").applyInPandas(chain, schema=UNION_SCHEMA)
+
+
+RESOLVED_SCHEMA = T.StructType([
+    T.StructField("class_id", T.DoubleType()),
+    T.StructField("geometry_wkb", T.BinaryType()),
+    T.StructField("area", T.DoubleType()),
+])
+
+
+def ensure_non_overlapping_unions(
+    unions: DataFrame, class_col: str = "class_id",
+    wkb_col: str = "geometry_wkb", min_area: float = 1e-9,
+) -> DataFrame:
+    """W3 vector-space non-overlap resolution (reference
+    ``utils/geospatial.py:74-107`` ``ensure_non_overlapping_polygons``):
+    process class geometries in area-ASCENDING order; each output is the
+    geometry minus the union of all previously-processed ORIGINAL
+    geometries (originals accumulate, not the differenced outputs — same
+    boundary-artifact guard as the reference). Exported per-class
+    geometries are pairwise disjoint.
+
+    No GEOS: the difference is computed by convex decomposition — region →
+    convex pieces (triangulate exterior, subtract hole triangles), running
+    union kept as a triangle soup, piece ∖ triangle via half-plane
+    splitting. Output geometry per class is a MultiPolygon of the
+    surviving convex pieces: area-identical to the dissolved GEOS result,
+    just not re-dissolved (a finer partition of the same region).
+
+    Driver-side sequential loop BY DESIGN: the per-class union table is
+    one row per class (the collapsed small side of A6), and the
+    running-union recurrence is inherently serial in class order — the
+    reference runs the identical loop.
+    """
+    rows = unions.select(class_col, wkb_col).collect()
+    items = []
+    for r in rows:
+        polys = geom.wkb_to_rings(bytes(r[wkb_col]))
+        items.append((float(geom.multipolygon_area(polys)), r[class_col], polys))
+    # area asc; class id breaks ties deterministically
+    items.sort(key=lambda it: (it[0], it[1]))
+    acc_tris: list[np.ndarray] = []
+    out = {"class_id": [], "geometry_wkb": [], "area": []}
+    for _, cls, polys in items:
+        original = geom.polygon_region_pieces(polys)
+        pieces = list(original)
+        for tri in acc_tris:
+            pieces = geom.convex_pieces_minus_triangle(pieces, tri)
+            if not pieces:
+                break
+        pieces = [p for p in pieces if abs(geom.ring_signed_area(
+            np.vstack([p, p[:1]]))) > min_area]
+        area = float(sum(abs(geom.ring_signed_area(np.vstack([p, p[:1]])))
+                         for p in pieces))
+        out["class_id"].append(float(cls))
+        out["geometry_wkb"].append(geom.multipolygon_to_wkb([[p] for p in pieces]))
+        out["area"].append(area)
+        # accumulate the ORIGINAL region (fan-triangulate its convex pieces)
+        for p in original:
+            for k in range(1, len(p) - 1):
+                acc_tris.append(np.array([p[0], p[k], p[k + 1]]))
+    spark = unions.sparkSession
+    return spark.createDataFrame(pd.DataFrame(out), schema=RESOLVED_SCHEMA)

@@ -42,9 +42,12 @@ def rasterize_zbuffer(
     tri_z: np.ndarray,   # (n, 3) camera-frame depths
     face_ids: np.ndarray,
     w: int, h: int,
-) -> np.ndarray:
+    return_depth: bool = False,
+):
     """(h, w) int64 image of face ids, -1 = no hit. Pixel (r, c) sampled at
-    image coords (c+0.5, r+0.5). Perspective-correct depth via linear 1/z."""
+    image coords (c+0.5, r+0.5). Perspective-correct depth via linear 1/z.
+    ``return_depth=True`` also returns the (h, w) float64 depth buffer
+    (inf = no hit) for partial-image z-merging."""
     img_face = np.full((h, w), -1, dtype=np.int64)
     img_depth = np.full((h, w), np.inf, dtype=np.float64)
     # skip faces with any vertex at/behind the camera (scene cameras are
@@ -81,10 +84,13 @@ def rasterize_zbuffer(
         closer = dsel < img_depth[rows, cols]
         img_depth[rows[closer], cols[closer]] = dsel[closer]
         img_face[rows[closer], cols[closer]] = face_ids[t]
+    if return_depth:
+        return img_face, img_depth
     return img_face
 
 
-def _render_group(pdf: pd.DataFrame, cam_params: dict, scale: float) -> np.ndarray:
+def _render_group(pdf: pd.DataFrame, cam_params: dict, scale: float,
+                  return_depth: bool = False):
     """Shared per-camera render: returns the (h, w) face-id image.
 
     ``cam_params`` comes from the broadcast camera map — candidate rows
@@ -124,7 +130,8 @@ def _render_group(pdf: pd.DataFrame, cam_params: dict, scale: float) -> np.ndarr
     tri_px = np.stack([px, py], axis=1).reshape(n, 3, 2)
     tri_z = z.reshape(n, 3)
     return rasterize_zbuffer(
-        tri_px, tri_z, pdf["face_id"].to_numpy(np.int64), w, h)
+        tri_px, tri_z, pdf["face_id"].to_numpy(np.int64), w, h,
+        return_depth=return_depth)
 
 
 # ---------------------------------------------------------------------------
@@ -325,37 +332,116 @@ def _broadcast_cameras(cameras: DataFrame):
     return cameras.sparkSession.sparkContext.broadcast(cam_map)
 
 
+def _counts_pdf(camera_id, img: np.ndarray) -> pd.DataFrame:
+    hit = img[img >= 0]
+    if len(hit) == 0:
+        return pd.DataFrame({"camera_id": pd.Series([], dtype="int64"),
+                             "face_id": pd.Series([], dtype="int64"),
+                             "pixel_count": pd.Series([], dtype="int64")})
+    ids, counts = np.unique(hit, return_counts=True)
+    return pd.DataFrame({
+        "camera_id": np.full(len(ids), camera_id, dtype=np.int64),
+        "face_id": ids,
+        "pixel_count": counts.astype(np.int64),
+    })
+
+
+_PARTIAL_SCHEMA = T.StructType([
+    T.StructField("camera_id", T.LongType()),
+    T.StructField("x0", T.IntegerType()),   # crop origin in the image
+    T.StructField("y0", T.IntegerType()),
+    T.StructField("w", T.IntegerType()),
+    T.StructField("h", T.IntegerType()),
+    T.StructField("faces", T.BinaryType()),   # int64 (h, w) face ids
+    T.StructField("depths", T.BinaryType()),  # float64 (h, w) depths
+])
+
+
 def visibility_join(
     cameras: DataFrame, faces: DataFrame,
     res: int = 4, scale: float = 1.0,
     salt_factor: int | None = None,
     max_cells: int = 4096, z_range: tuple[float, float] | None = None,
+    split_res_delta: int = 0,
 ) -> DataFrame:
     """→ (camera_id, face_id, pixel_count): for every camera, the number of
     pixels whose first hit is each face (pixel_count > 0 only). The
-    engine's pix2face analog, aggregated (SURVEY §1.1 'pix2face map')."""
+    engine's pix2face analog, aggregated (SURVEY §1.1 'pix2face map').
+
+    ``split_res_delta > 0`` breaks the one-task-per-camera ceiling: each
+    camera's candidates split into spatial sub-groups (face cells at
+    res + delta), every sub-group rasterizes independently into a
+    bbox-CROPPED partial z-buffer (face ids + depths), and a per-camera
+    depth-min merge reduces the partials. Spatially coherent sub-groups
+    keep each partial's crop small, so the merge shuffle moves ~the
+    footprint area once, not #subgroups full frames. Exact: merge ties on
+    (depth, face_id) reproduce the single-pass face_id-sorted strict-<
+    rule. Use for wide scenes where cameras >> cores is false (the
+    per-camera group is the straggler at 100× face counts)."""
     cand = candidate_camera_faces(
         cameras, faces, res=res, salt_factor=salt_factor,
         max_cells=max_cells, z_range=z_range,
     ).select("camera_id", "face_id", *FACE_COORD_COLS)
     bc = _broadcast_cameras(cameras)
 
-    def agg(key: tuple, pdf: pd.DataFrame) -> pd.DataFrame:
-        img = _render_group(pdf, bc.value[int(key[0])], scale)
-        hit = img[img >= 0]
-        if len(hit) == 0:
-            return pd.DataFrame({"camera_id": pd.Series([], dtype="int64"),
-                                 "face_id": pd.Series([], dtype="int64"),
-                                 "pixel_count": pd.Series([], dtype="int64")})
-        ids, counts = np.unique(hit, return_counts=True)
-        return pd.DataFrame({
-            "camera_id": np.full(len(ids), key[0], dtype=np.int64),
-            "face_id": ids,
-            "pixel_count": counts.astype(np.int64),
-        })
+    if split_res_delta <= 0:
+        def agg(key: tuple, pdf: pd.DataFrame) -> pd.DataFrame:
+            return _counts_pdf(int(key[0]),
+                               _render_group(pdf, bc.value[int(key[0])], scale))
 
-    return cand.groupBy("camera_id").applyInPandas(
-        agg, schema=VISIBILITY_SCHEMA)
+        return cand.groupBy("camera_id").applyInPandas(
+            agg, schema=VISIBILITY_SCHEMA)
+
+    sub = C.cell_id_col(F.col("x0"), F.col("y0"), res + split_res_delta)
+    cand = cand.withColumn("_sub", sub)
+
+    def render_partial(key: tuple, pdf: pd.DataFrame) -> pd.DataFrame:
+        cam_id = int(key[0])
+        img, depth = _render_group(pdf, bc.value[cam_id], scale,
+                                   return_depth=True)
+        ys, xs = np.nonzero(img >= 0)
+        empty = pd.DataFrame({
+            "camera_id": pd.Series([], dtype="int64"),
+            "x0": pd.Series([], dtype="int32"), "y0": pd.Series([], dtype="int32"),
+            "w": pd.Series([], dtype="int32"), "h": pd.Series([], dtype="int32"),
+            "faces": pd.Series([], dtype=object),
+            "depths": pd.Series([], dtype=object)})
+        if len(ys) == 0:
+            return empty
+        y0, y1 = int(ys.min()), int(ys.max()) + 1
+        x0, x1 = int(xs.min()), int(xs.max()) + 1
+        return pd.DataFrame({
+            "camera_id": [cam_id], "x0": [x0], "y0": [y0],
+            "w": [x1 - x0], "h": [y1 - y0],
+            "faces": [img[y0:y1, x0:x1].astype("<i8").tobytes()],
+            "depths": [depth[y0:y1, x0:x1].astype("<f8").tobytes()]})
+
+    partials = cand.groupBy("camera_id", "_sub").applyInPandas(
+        render_partial, schema=_PARTIAL_SCHEMA)
+
+    def merge(key: tuple, pdf: pd.DataFrame) -> pd.DataFrame:
+        cam_id = int(key[0])
+        p = bc.value[cam_id]
+        w, h = int(p["w"]), int(p["h"])
+        if scale != 1.0:
+            w, h = int(round(w * scale)), int(round(h * scale))
+        img = np.full((h, w), -1, dtype=np.int64)
+        depth = np.full((h, w), np.inf, dtype=np.float64)
+        for r in pdf.itertuples(index=False):
+            pw, ph = int(r.w), int(r.h)
+            pf = np.frombuffer(r.faces, dtype="<i8").reshape(ph, pw)
+            pdp = np.frombuffer(r.depths, dtype="<f8").reshape(ph, pw)
+            sl = (slice(r.y0, r.y0 + ph), slice(r.x0, r.x0 + pw))
+            cur_f, cur_d = img[sl], depth[sl]
+            # strict-< plus lower-face tie-break == the single-pass
+            # face_id-sorted strict-< rule
+            take = (pdp < cur_d) | ((pdp == cur_d) & (pf >= 0) & (pf < cur_f))
+            cur_f[take] = pf[take]
+            cur_d[take] = pdp[take]
+        return _counts_pdf(cam_id, img)
+
+    return partials.groupBy("camera_id").applyInPandas(
+        merge, schema=VISIBILITY_SCHEMA)
 
 
 def render_face_images(

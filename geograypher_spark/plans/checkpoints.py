@@ -9,10 +9,13 @@ sha256; ``cameras/cameras.py:104-134`` camera hash).
 Spark-first form (north_rule: "resumable from checkpoint with per-partition
 lineage + metrics"):
 
-- a stage writes its output DataFrame to ``<root>/<stage>/<key>/data`` as
-  Parquet (Iceberg is a format swap) where ``key`` = sha256 of the stage
-  name, its parameters, and the keys of its input stages — a lineage DAG
-  by construction
+- a stage writes its output DataFrame to ``<root>/<stage>/<key>/data``
+  through a ``TableFormat`` (``sources/table_format.py``) — Parquet
+  directories in this sandbox, Iceberg catalog tables when the runtime
+  jar + catalog conf are present (``IcebergFormat``; the swap is a
+  constructor argument, not a rewrite) — where ``key`` = sha256 of the
+  stage name, its parameters, and the keys of its input stages — a
+  lineage DAG by construction
 - re-running the same pipeline skips any stage whose key directory already
   has a _SUCCESS marker
 - every materialization also records per-partition row counts + a
@@ -55,6 +58,13 @@ class CheckpointManager:
     spark: SparkSession
     root: str
     records: list[CheckpointedStage] = field(default_factory=list)
+    fmt: "TableFormat | None" = None  # default ParquetFormat
+
+    def __post_init__(self):
+        if self.fmt is None:
+            from ..sources.table_format import ParquetFormat
+
+            self.fmt = ParquetFormat()
 
     def _dir(self, stage: str, key: str) -> str:
         return os.path.join(self.root, stage, key)
@@ -74,11 +84,11 @@ class CheckpointManager:
         d = self._dir(stage, key)
         data_dir = os.path.join(d, "data")
         t0 = time.time()
-        skipped = os.path.exists(os.path.join(data_dir, "_SUCCESS"))
+        skipped = self.fmt.exists(self.spark, data_dir)
         if not skipped:
             df = build()
-            df.write.mode("overwrite").parquet(data_dir)
-        out = self.spark.read.parquet(data_dir)
+            self.fmt.write(df, data_dir)
+        out = self.fmt.read(self.spark, data_dir)
         # per-partition row-count metrics (A16 analog, north_rule)
         part_counts = (
             out.withColumn("_pid", F.spark_partition_id())

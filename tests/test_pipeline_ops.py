@@ -273,3 +273,34 @@ class TestCheckpoints:
         k2 = content_key("s", {"a": 1}, ["y"])
         k3 = content_key("s", {"a": 2}, ["x"])
         assert len({k1, k2, k3}) == 3
+
+
+class TestTableFormat:
+    def test_parquet_roundtrip_and_exists(self, spark, tmp_path):
+        from geograypher_spark.sources.table_format import ParquetFormat
+
+        fmt = ParquetFormat()
+        p = str(tmp_path / "t1")
+        assert not fmt.exists(spark, p)
+        fmt.write(spark.range(10), p)
+        assert fmt.exists(spark, p)
+        assert fmt.read(spark, p).count() == 10
+
+    def test_iceberg_gated_with_clear_error(self, spark):
+        """No Iceberg runtime in this container: available() must be False
+        and any use must fail fast with the setup instructions, not
+        mid-plan with a ClassNotFoundException."""
+        from geograypher_spark.sources.table_format import IcebergFormat
+
+        fmt = IcebergFormat()
+        assert not IcebergFormat.available(spark)
+        with pytest.raises(RuntimeError, match="iceberg-spark-runtime"):
+            fmt.read(spark, "db.docs")
+
+    def test_checkpoint_manager_takes_format(self, spark, tmp_path):
+        from geograypher_spark.plans.checkpoints import CheckpointManager
+        from geograypher_spark.sources.table_format import ParquetFormat
+
+        mgr = CheckpointManager(spark, str(tmp_path), fmt=ParquetFormat())
+        df, key = mgr.run("s", {}, [], lambda: spark.range(5))
+        assert df.count() == 5

@@ -143,3 +143,48 @@ class TestZonal:
         got = {r["class_id"]: r["pixel_count"]
                for r in TL.zonal_stats(polys, tiles_df, GRID).collect()}
         assert got == {0: 100, 1: 100}  # 10px tall x 10px in each tile
+
+
+class TestGeoTiffSink:
+    def test_encode_decode_roundtrip(self):
+        from geograypher_spark.sources.gtiff import encode_geotiff, read_geotiff
+
+        rng = np.random.default_rng(3)
+        img = rng.integers(0, 255, size=(40, 56), dtype=np.uint8)
+        buf = encode_geotiff(img, 432100.5, 5321000.25, 0.125,
+                             epsg=32610, nodata=255)
+        # structural: little-endian magic, ascending tag order
+        assert buf[:4] == b"II\x2a\x00"
+        import struct
+        (ifd_off,) = struct.unpack_from("<I", buf, 4)
+        (n,) = struct.unpack_from("<H", buf, ifd_off)
+        tags = [struct.unpack_from("<H", buf, ifd_off + 2 + 12 * k)[0]
+                for k in range(n)]
+        assert tags == sorted(tags)
+        out, meta = read_geotiff(buf)
+        np.testing.assert_array_equal(out, img)
+        assert meta["origin_x"] == 432100.5 and meta["origin_y"] == 5321000.25
+        assert meta["gsd"] == 0.125 and meta["epsg"] == 32610
+        assert meta["nodata"] == 255
+
+    def test_tile_sink_gtiff_end_to_end(self, spark, tmp_path):
+        from geograypher_spark.operators.tiles import TileGrid, rasterize_face_labels
+        from geograypher_spark.sources.sinks import write_raster_tiles
+        from geograypher_spark.sources.gtiff import read_geotiff
+        import pandas as pd
+
+        grid = TileGrid(0.0, 4.0, 0.25, 16)
+        faces = spark.createDataFrame(pd.DataFrame([{
+            "face_id": 0, "class_id": 3,
+            "x0": 0.1, "y0": 0.1, "z0": 0.0,
+            "x1": 3.9, "y1": 0.1, "z1": 0.0,
+            "x2": 0.1, "y2": 3.9, "z2": 0.0,
+        }]))
+        tiles = rasterize_face_labels(faces, grid, emit_images=True)
+        write_raster_tiles(tiles, str(tmp_path), grid, fmt="gtiff", epsg=32611)
+        import glob
+        files = sorted(glob.glob(str(tmp_path / "*.tif")))
+        assert files
+        img, meta = read_geotiff(open(files[0], "rb").read())
+        assert img.shape == (16, 16) and meta["epsg"] == 32611
+        assert (img == 3).any() and meta["gsd"] == 0.25

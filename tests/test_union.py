@@ -56,3 +56,62 @@ def test_ground_plane_union_open_sheet(spark, scene):
     size = scene.params["size"]
     assert got[0]["area"] == pytest.approx(size * size)
     assert got[0]["n_rings"] == 1
+
+
+class TestNonOverlapResolution:
+    """W3 vector-space resolution (reference utils/geospatial.py:74-107)."""
+
+    def _unions_df(self, spark, specs):
+        import pandas as pd
+
+        pdf = pd.DataFrame({
+            "class_id": [float(c) for c, _ in specs],
+            "geometry_wkb": [geom.multipolygon_to_wkb(p) for _, p in specs],
+        })
+        return spark.createDataFrame(pdf)
+
+    def test_overlapping_squares_become_disjoint(self, spark):
+        from geograypher_spark.operators.union import ensure_non_overlapping_unions
+
+        sq = lambda x0, y0, s: [[geom.rect_ring(x0, y0, x0 + s, y0 + s)]]
+        # class 2 (small, area 4) overlaps class 1 (big, area 100) corner
+        df = self._unions_df(spark, [(1, sq(0, 0, 10)), (2, sq(9, 9, 2))])
+        got = {r["class_id"]: r for r in
+               ensure_non_overlapping_unions(df).collect()}
+        # smaller class processed first → keeps its full area
+        assert got[2.0]["area"] == pytest.approx(4.0)
+        # larger loses the 1x1 overlap corner
+        assert got[1.0]["area"] == pytest.approx(99.0)
+        a = geom.wkb_to_rings(bytes(got[1.0]["geometry_wkb"]))
+        b = geom.wkb_to_rings(bytes(got[2.0]["geometry_wkb"]))
+        assert geom.polygon_intersection_area(a, b) == pytest.approx(0.0, abs=1e-9)
+
+    def test_three_way_chain_and_hole(self, spark):
+        from geograypher_spark.operators.union import ensure_non_overlapping_unions
+
+        ring = geom.rect_ring
+        # class 1: big square WITH a hole; class 2 overlaps the hole edge;
+        # class 3 tiny, overlapping both
+        c1 = [[ring(0, 0, 12, 12), ring(4, 4, 8, 8)]]      # area 144-16=128
+        c2 = [[ring(3, 3, 9, 9)]]                          # area 36
+        c3 = [[ring(2.5, 2.5, 4.5, 4.5)]]                  # area 4
+        df = self._unions_df(spark, [(1, c1), (2, c2), (3, c3)])
+        got = {r["class_id"]: r for r in
+               ensure_non_overlapping_unions(df).collect()}
+        assert got[3.0]["area"] == pytest.approx(4.0)      # smallest: intact
+        # class 2 loses its overlap with class 3 (area 4 ∩ = 2x2 at 2.5..4.5
+        # clipped to 3..4.5 = 1.5x1.5)
+        assert got[2.0]["area"] == pytest.approx(36.0 - 1.5 * 1.5)
+        # c1 ∖ (c2 ∪ c3): c1 region = 128. c1∩c2 = 36 − 16 (hole 4..8 is
+        # inside c2) = 20. c1∩c3 = 4 − 0.25 (hole corner) = 3.75, of which
+        # already inside c2: (3..4.5)² minus hole corner = 2.25 − 0.25 = 2.0
+        # → exclusive c3 part = 1.75. Final: 128 − 20 − 1.75 = 106.25.
+        assert got[1.0]["area"] == pytest.approx(106.25)
+        # pairwise disjoint
+        geoms = {k: geom.wkb_to_rings(bytes(v["geometry_wkb"]))
+                 for k, v in got.items()}
+        for x in geoms:
+            for y in geoms:
+                if x < y:
+                    assert geom.polygon_intersection_area(
+                        geoms[x], geoms[y]) == pytest.approx(0.0, abs=1e-9)

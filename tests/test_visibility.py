@@ -210,3 +210,41 @@ def test_distortion_aware_render(spark):
     assert d_rows.max() == pytest.approx(py.max(), abs=1.5)
     # barrel distortion shrinks the footprint
     assert (img_d >= 0).sum() < (img_u >= 0).sum()
+
+
+def test_split_render_equals_single_group(spark):
+    """Sub-camera split (partial z-buffers + depth-min merge) must be
+    EXACTLY the single-group render: flat mesh + the occlusion scene."""
+    verts, tris = flat_mesh_tables()
+    fdf = faces_df(spark, verts, tris)
+    cdf = camera_df(spark)
+    base = {(r["camera_id"], r["face_id"]): r["pixel_count"]
+            for r in V.visibility_join(cdf, fdf).collect()}
+    split = {(r["camera_id"], r["face_id"]): r["pixel_count"]
+             for r in V.visibility_join(cdf, fdf, split_res_delta=3).collect()}
+    assert split == base and sum(base.values()) == W * H
+
+    # occlusion: nearer face must still win across sub-group boundaries
+    def square(fid0, half, z):
+        quad = np.array([
+            [-half, -half, z], [half, -half, z], [half, half, z], [-half, half, z]])
+        rows = []
+        for k, tri in enumerate([(0, 1, 2), (0, 2, 3)]):
+            p = quad[list(tri)]
+            rows.append({
+                "face_id": fid0 + k,
+                "x0": p[0, 0], "y0": p[0, 1], "z0": p[0, 2],
+                "x1": p[1, 0], "y1": p[1, 1], "z1": p[1, 2],
+                "x2": p[2, 0], "y2": p[2, 1], "z2": p[2, 2],
+                "cx": p[:, 0].mean(), "cy": p[:, 1].mean(), "cz": p[:, 2].mean(),
+            })
+        return rows
+
+    pdf = pd.DataFrame(square(0, 1.9, 0.0) + square(2, 0.5, 1.0))
+    occ = spark.createDataFrame(pdf)
+    cdf0 = camera_df(spark, x=0.0, y=0.0)
+    a = {(r["camera_id"], r["face_id"]): r["pixel_count"]
+         for r in V.visibility_join(cdf0, occ).collect()}
+    b = {(r["camera_id"], r["face_id"]): r["pixel_count"]
+         for r in V.visibility_join(cdf0, occ, split_res_delta=6).collect()}
+    assert a == b
