@@ -90,16 +90,49 @@ def image_features(
     return media.filter(F.col("kind") == "image").mapInPandas(gen, schema=FEATURE_SCHEMA)
 
 
-def exif_lonlat(media: DataFrame) -> DataFrame:
-    """S7 analog: lon/lat from image metadata. Real EXIF decoding needs an
-    image library (absent here); ingest pipelines are expected to surface
-    GPS tags into the ``meta`` map — this extracts and types them
-    (reference ``utils/image.py:10-26``)."""
-    return media.select(
+def exif_lonlat(media: DataFrame, parse_payload: bool = True) -> DataFrame:
+    """S7: lon/lat per image (reference ``utils/image.py:10-26``). Two
+    sources, meta map first: ingest pipelines that already surfaced
+    ``exif_lon``/``exif_lat`` keys win; otherwise the GPS EXIF tags are
+    parsed straight from the JPEG payload bytes by the pure-Python TIFF
+    walker (``functions/exif.py`` — no image codec involved, so this works
+    in codec-less environments and never decodes pixels)."""
+    meta_path = media.select(
         "media_ref",
         F.element_at("meta", "exif_lon").cast("double").alias("lon"),
         F.element_at("meta", "exif_lat").cast("double").alias("lat"),
-    ).filter(F.col("lon").isNotNull() & F.col("lat").isNotNull())
+    )
+    if not parse_payload:
+        return meta_path.filter(
+            F.col("lon").isNotNull() & F.col("lat").isNotNull())
+
+    from ..functions.exif import parse_jpeg_gps
+
+    schema = T.StructType([
+        T.StructField("media_ref", T.StringType()),
+        T.StructField("lon", T.DoubleType()),
+        T.StructField("lat", T.DoubleType()),
+    ])
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {"media_ref": [], "lon": [], "lat": []}
+            for _, row in pdf.iterrows():
+                meta = row["meta"] or {}
+                lon, lat = meta.get("exif_lon"), meta.get("exif_lat")
+                if lon is not None and lat is not None:
+                    lon, lat = float(lon), float(lat)
+                else:
+                    gps = parse_jpeg_gps(bytes(row["payload"] or b""))
+                    if gps is None:
+                        continue
+                    lon, lat = gps["lon"], gps["lat"]
+                out["media_ref"].append(row["media_ref"])
+                out["lon"].append(lon)
+                out["lat"].append(lat)
+            yield pd.DataFrame(out)
+
+    return media.mapInPandas(gen, schema=schema)
 
 
 FRAME_SCHEMA = T.StructType([

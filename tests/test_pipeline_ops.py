@@ -304,3 +304,43 @@ class TestTableFormat:
         mgr = CheckpointManager(spark, str(tmp_path), fmt=ParquetFormat())
         df, key = mgr.run("s", {}, [], lambda: spark.range(5))
         assert df.count() == 5
+
+
+class TestExif:
+    def test_jpeg_gps_roundtrip(self):
+        from geograypher_spark.functions.exif import build_exif_jpeg, parse_jpeg_gps
+
+        jpg = build_exif_jpeg(44.6387, -123.2791, alt=87.5)
+        gps = parse_jpeg_gps(jpg)
+        assert gps["lat"] == pytest.approx(44.6387, abs=1e-6)
+        assert gps["lon"] == pytest.approx(-123.2791, abs=1e-6)
+        assert gps["alt"] == pytest.approx(87.5, abs=1e-3)
+        # southern/western hemisphere signs
+        gps2 = parse_jpeg_gps(build_exif_jpeg(-33.87, 151.21))
+        assert gps2["lat"] == pytest.approx(-33.87, abs=1e-6)
+        assert gps2["lon"] == pytest.approx(151.21, abs=1e-6)
+
+    def test_non_jpeg_and_gps_free_return_none(self):
+        from geograypher_spark.functions.exif import parse_jpeg_gps
+
+        assert parse_jpeg_gps(b"plainbytes") is None
+        assert parse_jpeg_gps(b"\xff\xd8\xff\xd9") is None
+
+    def test_exif_lonlat_operator_parses_payload(self, spark):
+        from geograypher_spark.functions.exif import build_exif_jpeg
+
+        rows = [
+            # GPS only in the payload bytes
+            ("a.jpg", "image", build_exif_jpeg(45.5, -122.6), {}),
+            # GPS pre-surfaced in meta (wins, payload not even a JPEG)
+            ("b.jpg", "image", b"notajpeg", {"exif_lon": "-120.5", "exif_lat": "40.25"}),
+            # neither → dropped
+            ("c.jpg", "image", b"notajpeg", {}),
+        ]
+        media = spark.createDataFrame(rows, MM.MEDIA_SCHEMA)
+        got = {r["media_ref"]: (r["lon"], r["lat"])
+               for r in MM.exif_lonlat(media).collect()}
+        assert set(got) == {"a.jpg", "b.jpg"}
+        assert got["a.jpg"][0] == pytest.approx(-122.6, abs=1e-6)
+        assert got["a.jpg"][1] == pytest.approx(45.5, abs=1e-6)
+        assert got["b.jpg"] == (-120.5, 40.25)
