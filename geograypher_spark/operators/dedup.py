@@ -68,8 +68,16 @@ def jaccard_pairs(
     true Jaccard of the capped sets; pairs that only share ultra-frequent
     shingles are missed by design (MinHash-LSH covers near-exact dups).
     Default None = exact (small corpora / oracle parity).
+
+    The shingle set feeds four plan branches (df histogram, sizes, both
+    join sides); without materialization Spark re-runs the posexplode +
+    lead-window construction — and re-scans the source — once per branch
+    (8 scans observed). One persist turns that into one construction.
     """
-    sh = word_shingles(docs, id_col, text_col, n)
+    from pyspark import StorageLevel
+
+    sh = word_shingles(docs, id_col, text_col, n).persist(
+        StorageLevel.MEMORY_AND_DISK)
     if df_cap is not None:
         dfreq = sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("_df"))
         sh = (sh.join(F.broadcast(dfreq.filter(F.col("_df") > df_cap)),
@@ -148,9 +156,19 @@ def minhash_dedup(
 ) -> DataFrame:
     """Full MinHash-LSH pipeline: signatures → band collisions → exact
     Jaccard verify on candidates only → (id_a, id_b, jaccard)."""
-    sigs = minhash_signatures(docs, id_col, text_col, n, n_hashes)
+    from pyspark import StorageLevel
+
+    # shared by the signature stage and the three verify branches — one
+    # construction instead of five (see jaccard_pairs)
+    sh_all = word_shingles(docs, id_col, text_col, n).persist(
+        StorageLevel.MEMORY_AND_DISK)
+    aggs = [
+        F.min(F.md5(F.concat(F.lit(f"{i}:"), F.col("shingle")))).alias(f"h{i}")
+        for i in range(n_hashes)
+    ]
+    sigs = sh_all.groupBy(id_col).agg(*aggs)
     cand = lsh_candidate_pairs(sigs, id_col, n_hashes, bands)
-    sh = word_shingles(docs, id_col, text_col, n)
+    sh = sh_all
     sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("sz"))
     a = sh.select(F.col(id_col).alias("id_a"), "shingle")
     b = sh.select(F.col(id_col).alias("id_b"), "shingle")
