@@ -444,6 +444,45 @@ def visibility_join(
         merge, schema=VISIBILITY_SCHEMA)
 
 
+def render_label_images(
+    cameras: DataFrame, faces_with_class: DataFrame,
+    class_col: str = "face_class", nodata: int = 255,
+    res: int = 4, scale: float = 1.0,
+) -> DataFrame:
+    """→ (camera_id, w, h, label_image): per-camera uint8 CLASS images —
+    the reverse-pipeline render (reference ``face_texture[pix2face]``
+    gather, ``meshes.py:1825-1909``). The face→class gather happens INSIDE
+    each camera's render group (its candidate rows already carry the
+    class), so no face-scale map ever hits the driver or a broadcast."""
+    cand = candidate_camera_faces(cameras, faces_with_class, res=res).select(
+        "camera_id", "face_id", class_col, *FACE_COORD_COLS)
+    bc = _broadcast_cameras(cameras)
+    schema = T.StructType([
+        T.StructField("camera_id", T.LongType()),
+        T.StructField("w", T.IntegerType()),
+        T.StructField("h", T.IntegerType()),
+        T.StructField("label_image", T.BinaryType()),
+    ])
+
+    def agg(key: tuple, pdf: pd.DataFrame) -> pd.DataFrame:
+        img = _render_group(pdf, bc.value[int(key[0])], scale)
+        lab = np.full(img.shape, nodata, dtype=np.uint8)
+        hit = img >= 0
+        if hit.any():
+            local = dict(zip(pdf["face_id"].astype(np.int64),
+                             pdf[class_col].astype(np.int64)))
+            lab[hit] = np.vectorize(
+                lambda f: local.get(int(f), nodata), otypes=[np.uint8]
+            )(img[hit])
+        return pd.DataFrame({
+            "camera_id": [key[0]],
+            "w": [img.shape[1]], "h": [img.shape[0]],
+            "label_image": [lab.tobytes()],
+        })
+
+    return cand.groupBy("camera_id").applyInPandas(agg, schema=schema)
+
+
 def render_face_images(
     cameras: DataFrame, faces: DataFrame,
     res: int = 4, scale: float = 1.0,

@@ -7,8 +7,13 @@ and the Arrow kernels.
 
 from __future__ import annotations
 
+from typing import Iterator
+
+import numpy as np
+import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
 
 from ..operators import aggregates as A
 from ..operators import spatial_join as SJ
@@ -133,3 +138,119 @@ def forward_pipeline(
             unions = ensure_non_overlapping_unions(unions)
         write_vector_geojson(unions, export_geojson_path)
     return pred
+
+
+def render_labels_pipeline(
+    spark,
+    cameras: DataFrame,
+    faces: DataFrame,
+    verts: DataFrame,
+    polygons: DataFrame,
+    nodata: int = 255,
+) -> DataFrame:
+    """The REVERSE entrypoint (``entrypoints/render_labels.py:21-245``,
+    SURVEY §3.2): map → mesh → per-camera label images.
+
+    1. verts ⋈ polygons exact PIP (J4, ``meshes.py:971-1056``)
+    2. vert labels → per-face mode vote (deterministic tie-break)
+    3. per-camera z-buffer render of face ids (J1) + broadcast face→class
+       gather → uint8 label images (the reference's
+       ``face_texture[pix2face]`` gather, ``meshes.py:1825-1909``)
+
+    Returns (camera_id, w, h, label_image binary uint8, nodata=255).
+    """
+    from ..operators.visibility import render_label_images
+
+    vert_labels = SJ.points_in_polygons(
+        verts.select("vert_id", "x", "y"),
+        polygons.select("polygon_id", "class_id", "geometry_wkb"),
+    ).select("vert_id", "class_id")
+    face_votes = (
+        faces.select("face_id", F.explode(F.array("v0", "v1", "v2")).alias("vert_id"))
+        .join(vert_labels, "vert_id")
+    )
+    face_class = A.mode_vote(face_votes, ["face_id"], "class_id",
+                             out="face_class")
+    # face->class joins back onto the face table (face-scale: a shuffle
+    # join, never a driver collect); the render gathers classes inside
+    # each camera group
+    labeled = faces.join(face_class.select("face_id", "face_class"), "face_id")
+    return render_label_images(cameras, labeled, nodata=nodata)
+
+
+def multiview_detections_pipeline(
+    spark,
+    cameras: DataFrame,
+    detections: DataFrame,
+    ray_length: float = 50.0,
+    tau: float = 0.05,
+    max_angle_rad: float | None = None,
+    checkpoint_root: str | None = None,
+) -> DataFrame:
+    """The detections→3D-objects entrypoint
+    (``entrypoints/multiview_detections.py:183-303``, SURVEY §3.3):
+
+    detections (camera_id, px, py) → world rays (X6, distributed
+    mapInPandas with broadcast camera params) → optional vertical-angle
+    filter (F5) → τ proximity graph (J8) → connected components (A12) →
+    per-component triangulation (A11).
+
+    With ``checkpoint_root`` the three reference checkpoints
+    (line_segments.npz / edge_weights.json / communities.npz,
+    ``cameras/cameras.py:1342-1398``) become three resumable content-hash
+    checkpoint tables with per-partition lineage.
+    """
+    from ..functions import camera as cam_fn
+    from ..operators.raytri import (connected_components, ray_proximity_edges,
+                                    triangulate_components)
+    from ..operators.visibility import _broadcast_cameras
+
+    bc = _broadcast_cameras(cameras)
+    schema = T.StructType([
+        T.StructField("ray_id", T.LongType()),
+        T.StructField("camera_id", T.LongType()),
+        T.StructField("sx", T.DoubleType()), T.StructField("sy", T.DoubleType()),
+        T.StructField("sz", T.DoubleType()), T.StructField("ex", T.DoubleType()),
+        T.StructField("ey", T.DoubleType()), T.StructField("ez", T.DoubleType()),
+    ])
+
+    def to_rays(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            outs = []
+            for cam_id, grp in pdf.groupby("camera_id"):
+                p = bc.value[int(cam_id)]
+                c2w = np.asarray(p["cam_to_world"], dtype=np.float64).reshape(4, 4)
+                s, e = cam_fn.cast_rays(
+                    grp["px"].to_numpy(np.float64), grp["py"].to_numpy(np.float64),
+                    c2w, float(p["f"]), float(p["cx"]), float(p["cy"]),
+                    int(p["w"]), int(p["h"]), length=ray_length)
+                o = pd.DataFrame({
+                    "ray_id": grp["detection_id"].to_numpy(np.int64),
+                    "camera_id": np.full(len(grp), cam_id, dtype=np.int64),
+                    "sx": s[:, 0], "sy": s[:, 1], "sz": s[:, 2],
+                    "ex": e[:, 0], "ey": e[:, 1], "ez": e[:, 2]})
+                if max_angle_rad is not None:
+                    ang = cam_fn.ray_angle_from_vertical(s, e)
+                    o = o[ang <= max_angle_rad]
+                outs.append(o)
+            yield pd.concat(outs) if outs else pd.DataFrame(
+                {f.name: pd.Series([], dtype="float64") for f in schema})
+
+    rays = detections.mapInPandas(to_rays, schema=schema)
+
+    if checkpoint_root is not None:
+        from .checkpoints import CheckpointManager
+
+        mgr = CheckpointManager(spark, checkpoint_root)
+        rays, rays_key = mgr.run(
+            "line_segments", {"ray_length": ray_length}, [], lambda: rays)
+        edges, edges_key = mgr.run(
+            "edge_weights", {"tau": tau}, [rays_key],
+            lambda: ray_proximity_edges(rays, tau=tau))
+        comp_df, _ = mgr.run(
+            "communities", {}, [edges_key],
+            lambda: connected_components(edges))
+    else:
+        edges = ray_proximity_edges(rays, tau=tau)
+        comp_df = connected_components(edges)
+    return triangulate_components(rays, comp_df)

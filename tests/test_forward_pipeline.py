@@ -72,3 +72,102 @@ def test_aggregate_images_n_cameras_across_classes(spark):
     assert got[2]["n_cameras"] == 1
     kept = aggregate_images(pc, min_observations=2).collect()
     assert [r["face_id"] for r in kept] == [1]
+
+
+def test_render_labels_pipeline_exact(spark):
+    """Reverse pipeline on the analytic flat mesh: one square polygon
+    labels part of the mesh; the rendered label image must equal the
+    closed-form pixel->class map."""
+    import pandas as pd
+    from geograypher_spark.plans.pipelines import render_labels_pipeline
+    from geograypher_spark.sources import analytic as AN
+    from geograypher_spark.functions import geometry as geom
+
+    faces_pdf = AN.flat_mesh_faces_pdf().drop(columns=["class_id"])
+    faces = spark.createDataFrame(faces_pdf)
+    cams = spark.createDataFrame(AN.nadir_cameras_pdf()).filter("camera_id = 0")
+    # verts table from the same grid
+    xs = np.linspace(-AN.EXTENT, AN.EXTENT, AN.N)
+    gx, gy = np.meshgrid(xs, xs, indexing="ij")
+    verts = spark.createDataFrame(pd.DataFrame({
+        "vert_id": np.arange(AN.N * AN.N, dtype=np.int64),
+        "x": gx.ravel(), "y": gy.ravel()}))
+    # polygon: square [-1.0, 0.2]^2 with class 7 (edges at .0/.2 never hit
+    # the 0.04-grid verts... they do: -1.0 is a vert line. Shift: use .013)
+    ring = geom.rect_ring(-1.013, -1.013, 0.213, 0.213)
+    polys = spark.createDataFrame(pd.DataFrame({
+        "polygon_id": [1], "class_id": [7],
+        "geometry_wkb": [geom.polygon_to_wkb([ring])]}))
+    out = render_labels_pipeline(spark, cams, faces, verts, polys).collect()
+    assert len(out) == 1
+    row = out[0]
+    img = np.frombuffer(bytes(row["label_image"]), dtype=np.uint8).reshape(
+        row["h"], row["w"])
+    # expected: pixel -> face (analytic) -> class 7 iff ALL 3 of the
+    # face's verts are inside the polygon (mode vote over 3 identical
+    # labels; faces with 2/3 verts inside also vote 7 — mode of {7,7} with
+    # one unlabeled vert missing from the vote)
+    # easier exact check: interior pixels far from the polygon boundary
+    f_over_z = AN.CAM_F / AN.CAM_Z
+    offx, offy = AN.CAMERAS[0]["offx"], AN.CAMERAS[0]["offy"]
+    for r, c in [(80, 80), (100, 60), (20, 20), (150, 150)]:
+        wx = (c + 0.5 - AN.CAM_W / 2) / f_over_z + offx
+        wy = -(r + 0.5 - AN.CAM_H / 2) / f_over_z + offy
+        margin = 0.1
+        inside = (-1.013 + margin < wx < 0.213 - margin
+                  and -1.013 + margin < wy < 0.213 - margin)
+        outside = not (-1.013 - margin < wx < 0.213 + margin
+                       and -1.013 - margin < wy < 0.213 + margin)
+        if inside:
+            assert img[r, c] == 7, (r, c)
+        elif outside:
+            assert img[r, c] == 255, (r, c)
+    assert (img == 7).sum() > 1000
+
+
+def test_multiview_detections_pipeline_with_checkpoints(spark, tmp_path):
+    """Detections->rays->edges->components->3D points, resumable: the
+    second run must skip all three checkpointed stages and produce the
+    identical triangulation."""
+    import pandas as pd
+    from geograypher_spark.plans.pipelines import multiview_detections_pipeline
+    from geograypher_spark.functions import camera as cam_fn
+    from geograypher_spark.sources.scene import make_scene
+
+    scene = make_scene(seed=42)
+    targets = np.array([[3.0, 3.7, 0.5], [7.3, 6.1, 0.8]])
+    rows = []
+    det_id = 0
+    for tgt in targets:
+        for c in scene.cameras:
+            c2w = np.asarray(c["cam_to_world"]).reshape(4, 4)
+            px, py, z = cam_fn.project_points(
+                tgt[None, :], c2w, c["f"], c["cx"], c["cy"], c["w"], c["h"])
+            if not cam_fn.in_image_mask(px, py, z, c["w"], c["h"])[0]:
+                continue
+            rows.append({"detection_id": det_id, "camera_id": c["camera_id"],
+                         "px": float(px[0]), "py": float(py[0])})
+            det_id += 1
+    dets = spark.createDataFrame(pd.DataFrame(rows))
+    import pandas as pd2
+    cams = spark.createDataFrame(pd2.DataFrame(scene.cameras))
+
+    root = str(tmp_path / "ckpt")
+    out1 = multiview_detections_pipeline(
+        spark, cams, dets, ray_length=12.0, tau=0.005,
+        checkpoint_root=root).collect()
+    got = {r["component"]: (r["n_rays"], round(r["px"], 5), round(r["py"], 5),
+                            round(r["pz"], 5)) for r in out1}
+    # each target recovered by its own component
+    recovered = sorted(v[1:] for v in got.values())
+    assert recovered == sorted((t[0], t[1], t[2]) for t in targets.tolist())
+    # resume: all three stages skip
+    out2 = multiview_detections_pipeline(
+        spark, cams, dets, ray_length=12.0, tau=0.005,
+        checkpoint_root=root).collect()
+    assert {r["component"]: (r["n_rays"], round(r["px"], 5)) for r in out2} \
+        == {k: (v[0], v[1]) for k, v in got.items()}
+    import json, glob, os
+    lineages = [json.load(open(f))
+                for f in glob.glob(os.path.join(root, "*", "*", "lineage.json"))]
+    assert len(lineages) == 3
