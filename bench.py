@@ -8,6 +8,13 @@ Runs the headline engine queries at $SPARK_GRAFT_SF_DIR (default
 Execution is forced with a noop sink so results stay distributed (no
 collect): the timed number is the full plan — scan → joins → Arrow kernels
 → aggregation — not driver materialization.
+
+Round-over-round comparability notes (r1 → r2):
+- visibility_zbuffer now renders the ANALYTIC 20k-face mesh (oracle-gated;
+  4.4× more output rows than r1's scene fixture) with the sub-camera
+  split path — a bigger workload, not a regression.
+- dedup_jaccard now runs with the df_cap skew guard on (one extra
+  shingle-key shuffle, correctness-gated against the oracle).
 """
 
 from __future__ import annotations

@@ -79,9 +79,12 @@ def jaccard_pairs(
     sh = word_shingles(docs, id_col, text_col, n).persist(
         StorageLevel.MEMORY_AND_DISK)
     if df_cap is not None:
-        dfreq = sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("_df"))
-        sh = (sh.join(F.broadcast(dfreq.filter(F.col("_df") > df_cap)),
-                      "shingle", "left_anti"))
+        # df filter as a window over the shingle key: shuffles by shingle
+        # exactly like the self-join below (exchange reuse), instead of an
+        # eager broadcast sub-job for the hot-shingle list
+        wdf = Window.partitionBy("shingle")
+        sh = (sh.withColumn("_df", F.count(F.lit(1)).over(wdf))
+              .filter(F.col("_df") <= df_cap).drop("_df"))
     sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("sz"))
     a = sh.select(F.col(id_col).alias("id_a"), "shingle")
     b = sh.select(F.col(id_col).alias("id_b"), "shingle")

@@ -635,7 +635,10 @@ def q_visibility_zbuffer(spark, sf_dir):
     from ..sources import analytic as AN
 
     faces, cams = AN.flat_mesh_spark(spark)
-    return V.visibility_join(cams, faces)
+    # 2 cameras × 20k faces would be 2 render tasks; the spatial sub-group
+    # split (res 4+7 = 0.5 m cells → ~64 sub-groups/camera) parallelizes
+    # the render and exercises the partial-z-buffer merge in the gated path
+    return V.visibility_join(cams, faces, split_res_delta=7)
 
 
 _UNION_G = 16  # quads per side of the union fixture; verts at INTEGER coords
