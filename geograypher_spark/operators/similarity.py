@@ -245,3 +245,147 @@ def cosine_topk_lsh(
         .filter(F.col("rank") <= kk)
         .select("vec_id", "neighbor_id", "rank", "sim")
     )
+
+
+def cosine_topk_ivf(
+    embeddings: DataFrame, id_col: str = "vec_id", vec_col: str = "embedding",
+    k: int = 5, n_lists: int | None = None, n_probe: int = 4,
+    scale: int = 1000, refine_iters: int = 0, n_vectors: int | None = None,
+) -> DataFrame:
+    """IVF-flat approximate top-k — the inverted-list ANN scale path
+    alongside the LSH variant.
+
+    Coarse quantizer: the ``n_lists`` lowest-id vectors serve as list
+    anchors (sampled-anchor IVF). Every vector joins the list of its
+    nearest anchor (min L2 over EXACT integer-quantized arithmetic, ties
+    to the lowest anchor index); a query probes its ``n_probe`` nearest
+    lists and re-ranks their members with the exact quantized cosine.
+    ``refine_iters`` > 0 runs distributed Lloyd steps to improve the
+    anchors (better recall; the anchors then depend on means and lose the
+    closed-form SQL twin, so the contract query uses 0).
+
+    Scale shape: assignment is one broadcast-matmul pass (anchors are tiny
+    by construction); the probe join shuffles each vector once per probed
+    list; per-list re-rank is a vectorized matmul bounded by list size
+    ~N/n_lists. A neighbor appears in exactly ONE list, so per-list top-k
+    rows are already pair-unique — no dedup shuffle. Lossless within the
+    probed lists (exact re-rank + the bucket-truncation argument of
+    ``cosine_topk_lsh``)."""
+    from pyspark.sql import types as T
+
+    if n_lists is None:
+        if n_vectors is None:
+            n_vectors = embeddings.count()
+        n_lists = max(1, int(np.ceil(np.sqrt(n_vectors))))
+    anchors_rows = (embeddings.orderBy(id_col).limit(n_lists)
+                    .select(id_col, vec_col).collect())
+    C = np.round(np.stack([np.asarray(r[vec_col], dtype=np.float64)
+                           for r in anchors_rows]) * scale)  # (L, d) ints
+    c_n2 = (C * C).sum(axis=1)
+    bc = embeddings.sparkSession.sparkContext.broadcast((C, c_n2))
+    n_probe = min(n_probe, n_lists)
+
+    par = embeddings.sparkSession.sparkContext.defaultParallelism
+    base = embeddings.repartition(max(par * 2, 8)).select(
+        F.col(id_col).alias("vec_id"),
+        quantized(F.col(vec_col), scale).alias("qv"))
+
+    assign_schema = T.StructType([
+        T.StructField("vec_id", embeddings.schema[id_col].dataType),
+        T.StructField("qv", T.ArrayType(T.LongType())),
+        T.StructField("own_list", T.IntegerType()),
+        T.StructField("probes", T.ArrayType(T.IntegerType())),
+    ])
+    npb = int(n_probe)
+
+    def assign(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            Cm, cn2 = bc.value
+            Q = np.stack(pdf["qv"].to_numpy()).astype(np.float64)
+            # argmin ||q-c||^2 = argmin (|c|^2 - 2 q.c): exact integers
+            d2 = cn2[None, :] - 2.0 * (Q @ Cm.T)
+            order = np.argsort(d2, axis=1, kind="stable")  # ties -> low idx
+            yield pd.DataFrame({
+                "vec_id": pdf["vec_id"],
+                "qv": pdf["qv"],
+                "own_list": order[:, 0].astype(np.int32),
+                "probes": list(order[:, :npb].astype(np.int32)),
+            })
+
+    assigned = base.mapInPandas(assign, schema=assign_schema)
+    if refine_iters > 0:
+        for _ in range(refine_iters):
+            means = (assigned.select("own_list", F.posexplode("qv")
+                                     .alias("dim", "val"))
+                     .groupBy("own_list", "dim").agg(F.avg("val").alias("m"))
+                     .groupBy("own_list")
+                     .agg(F.sort_array(F.collect_list(F.struct("dim", "m")))
+                          .alias("vals")).collect())
+            Cm = bc.value[0].copy()
+            for r in means:
+                Cm[int(r["own_list"])] = np.round(
+                    [v["m"] for v in r["vals"]])
+            bc = embeddings.sparkSession.sparkContext.broadcast(
+                (Cm, (Cm * Cm).sum(axis=1)))
+            assigned = base.mapInPandas(assign, schema=assign_schema)
+
+    members = assigned.select(
+        F.col("vec_id").alias("neighbor_id"), F.col("qv").alias("qn"),
+        F.col("own_list").alias("probe_list"))
+    queries = assigned.select(
+        "vec_id", F.col("qv").alias("qq"),
+        F.explode("probes").alias("probe_list"))
+
+    id_type = embeddings.schema[id_col].dataType
+    out_schema = T.StructType([
+        T.StructField("vec_id", id_type),
+        T.StructField("neighbor_id", id_type),
+        T.StructField("sim", T.DoubleType()),
+    ])
+    kk = int(k)
+
+    def list_topk(key: tuple, pdf: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame({"vec_id": pd.Series([], dtype=object),
+                              "neighbor_id": pd.Series([], dtype=object),
+                              "sim": pd.Series([], dtype="float64")})
+        qs = pdf[pdf["side"] == 0]
+        ns = pdf[pdf["side"] == 1]
+        if not len(qs) or not len(ns):
+            return empty
+        Q = np.stack(qs["qv"].to_numpy()).astype(np.float64)
+        Nn = np.stack(ns["qv"].to_numpy()).astype(np.float64)
+        qn2 = (Q * Q).sum(axis=1)
+        nn2 = (Nn * Nn).sum(axis=1)
+        qids = qs["vec_id"].to_numpy()
+        nids = ns["vec_id"].to_numpy()
+        outs = []
+        chunk = max(1, min(len(Q), 2_000_000 // max(len(Nn), 1) + 1, 4096))
+        for lo in range(0, len(Q), chunk):
+            hi = min(lo + chunk, len(Q))
+            sims = (Q[lo:hi] @ Nn.T) / np.sqrt(np.outer(qn2[lo:hi], nn2))
+            ok = qids[lo:hi, None] != nids[None, :]
+            sims = np.where(ok, sims, -np.inf)
+            k_eff = min(kk, sims.shape[1])
+            idx = np.lexsort(
+                (np.broadcast_to(nids, sims.shape), -sims), axis=-1)[:, :k_eff]
+            rowi = np.repeat(np.arange(hi - lo), k_eff)
+            coli = idx.ravel()
+            s = sims[rowi, coli]
+            valid = np.isfinite(s)
+            outs.append(pd.DataFrame({
+                "vec_id": qids[lo:hi][rowi[valid]],
+                "neighbor_id": nids[coli[valid]], "sim": s[valid]}))
+        return pd.concat(outs) if outs else empty
+
+    both = (queries.select("probe_list", F.col("vec_id"), F.col("qq").alias("qv"),
+                           F.lit(0).alias("side"))
+            .unionByName(members.select(
+                "probe_list", F.col("neighbor_id").alias("vec_id"),
+                F.col("qn").alias("qv"), F.lit(1).alias("side"))))
+    local = both.groupBy("probe_list").applyInPandas(list_topk, out_schema)
+    w = Window.partitionBy("vec_id").orderBy(F.desc("sim"), F.asc("neighbor_id"))
+    return (local.withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= kk)
+            .select("vec_id", "neighbor_id", "rank", "sim"))

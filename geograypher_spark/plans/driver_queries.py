@@ -872,6 +872,57 @@ FROM ranked WHERE rank <= 3
 """
 
 
+_IVF_LISTS = 16
+_IVF_PROBE = 4
+
+
+def q_ann_ivf(spark, sf_dir):
+    """IVF-flat ANN (sampled-anchor coarse quantizer): anchors are the
+    n_lists lowest vec_ids, so the oracle reproduces the whole structure
+    — assignment, probes, exact re-rank — with integer arithmetic."""
+    emb = _t(spark, sf_dir, "embeddings")
+    return SIM.cosine_topk_ivf(
+        emb, k=3, n_lists=_IVF_LISTS, n_probe=_IVF_PROBE,
+    ).select("vec_id", "neighbor_id", "rank")
+
+
+SQL_ANN_IVF = f"""
+WITH q AS (SELECT vec_id,
+             list_transform(embedding,
+               x -> round(CAST(x AS DOUBLE) * 1000)) AS qv
+           FROM embeddings),
+anchors AS (SELECT row_number() OVER (ORDER BY vec_id) - 1 AS list_idx,
+                   qv AS cv
+            FROM (SELECT vec_id, qv FROM q ORDER BY vec_id LIMIT {_IVF_LISTS})),
+d2 AS (SELECT q.vec_id, a.list_idx,
+         list_dot_product(a.cv, a.cv)
+           - 2 * list_dot_product(q.qv, a.cv) AS dist2
+       FROM q CROSS JOIN anchors a),
+ranked_lists AS (SELECT vec_id, list_idx,
+         row_number() OVER (PARTITION BY vec_id
+                            ORDER BY dist2 ASC, list_idx ASC) AS r
+       FROM d2),
+own AS (SELECT vec_id, list_idx AS own_list FROM ranked_lists WHERE r = 1),
+probes AS (SELECT vec_id, list_idx AS probe_list
+           FROM ranked_lists WHERE r <= {_IVF_PROBE}),
+pairs AS (SELECT p.vec_id, o.vec_id AS neighbor_id
+          FROM probes p JOIN own o ON o.own_list = p.probe_list
+          WHERE p.vec_id <> o.vec_id),
+sims AS (SELECT pr.vec_id, pr.neighbor_id,
+           list_dot_product(qa.qv, qb.qv)
+             / sqrt(list_dot_product(qa.qv, qa.qv)
+                    * list_dot_product(qb.qv, qb.qv)) AS sim
+         FROM pairs pr JOIN q qa ON qa.vec_id = pr.vec_id
+                       JOIN q qb ON qb.vec_id = pr.neighbor_id),
+ranked AS (SELECT vec_id, neighbor_id,
+             row_number() OVER (PARTITION BY vec_id
+                                ORDER BY sim DESC, neighbor_id ASC) AS rank
+           FROM sims)
+SELECT vec_id, neighbor_id, CAST(rank AS BIGINT) AS rank
+FROM ranked WHERE rank <= 3
+"""
+
+
 def q_rasterize_scene(spark, sf_dir):
     """A10/S10: top-down tile rasterization of the analytic flat mesh —
     the oracle maps every tile-pixel center to its face class in closed
@@ -962,6 +1013,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "triangulate": q_triangulate,
     "simhash": q_simhash,
     "ann_lsh": q_ann_lsh,
+    "ann_ivf": q_ann_ivf,
     "rasterize_scene": q_rasterize_scene,
     "multimodal_features": q_multimodal_features,
     "forward_pipeline": q_forward_pipeline,
@@ -997,6 +1049,7 @@ ORACLES: dict[str, str] = {
     "triangulate": SQL_TRIANGULATE,
     "simhash": _simhash_oracle_sql(),
     "ann_lsh": _ann_lsh_oracle_sql(),
+    "ann_ivf": SQL_ANN_IVF,
     "rasterize_scene": None,
     "forward_pipeline": None,
     "multimodal_features": SQL_MULTIMODAL_FEATURES,

@@ -344,3 +344,47 @@ class TestExif:
         assert got["a.jpg"][0] == pytest.approx(-122.6, abs=1e-6)
         assert got["a.jpg"][1] == pytest.approx(45.5, abs=1e-6)
         assert got["b.jpg"] == (-120.5, 40.25)
+
+
+class TestIvf:
+    def test_ivf_recall_on_clusters(self, spark):
+        rng = np.random.default_rng(13)
+        centers = rng.normal(size=(5, 16)) * 3
+        V = np.vstack([c + rng.normal(size=(10, 16)) * 0.1
+                       for c in centers]).astype(np.float32)
+        pdf = pd.DataFrame({"vec_id": np.arange(50, dtype=np.int64),
+                            "embedding": list(V)})
+        df = spark.createDataFrame(pdf)
+        exact = {(r["vec_id"], r["neighbor_id"])
+                 for r in SIM.cosine_topk_bruteforce(df, k=1).collect()}
+        approx = {(r["vec_id"], r["neighbor_id"])
+                  for r in SIM.cosine_topk_ivf(
+                      df, k=1, n_lists=8, n_probe=3).collect()}
+        assert len(exact & approx) / len(exact) >= 0.9
+
+    def test_ivf_pairs_unique_and_sims_exact(self, spark):
+        rng = np.random.default_rng(14)
+        V = rng.normal(size=(60, 8)).astype(np.float32)
+        pdf = pd.DataFrame({"vec_id": np.arange(60, dtype=np.int64),
+                            "embedding": list(V)})
+        df = spark.createDataFrame(pdf)
+        got = SIM.cosine_topk_ivf(df, k=3, n_lists=6, n_probe=2).collect()
+        pairs = [(r["vec_id"], r["neighbor_id"]) for r in got]
+        assert len(pairs) == len(set(pairs))
+        Q = np.round(V.astype(np.float64) * 1000)
+        n2 = (Q * Q).sum(axis=1)
+        for r in got:
+            expect = (Q[r["vec_id"]] @ Q[r["neighbor_id"]]) / np.sqrt(
+                n2[r["vec_id"]] * n2[r["neighbor_id"]])
+            assert r["sim"] == expect
+
+    def test_ivf_lloyd_refinement_runs(self, spark):
+        rng = np.random.default_rng(15)
+        V = rng.normal(size=(40, 8)).astype(np.float32)
+        pdf = pd.DataFrame({"vec_id": np.arange(40, dtype=np.int64),
+                            "embedding": list(V)})
+        df = spark.createDataFrame(pdf)
+        out = SIM.cosine_topk_ivf(df, k=2, n_lists=4, n_probe=2,
+                                  refine_iters=1)
+        assert out.groupBy("vec_id").count().agg(
+            F.max("count")).collect()[0][0] <= 2
