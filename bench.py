@@ -63,6 +63,13 @@ def run(sf_dir: str, cpus: str, shuffle_partitions: int | None = None) -> dict:
     rows: dict[str, int] = {}
     for name in HEADLINE:
         q = DQ.QUERIES[name]
+        # per-query untimed warmup, then time a REBUILT plan: whole-stage
+        # codegen compiles once per generated class (janino dominates a
+        # cold first run by seconds); a long-running engine amortizes that
+        # constant, so steady-state is the meaningful throughput number —
+        # same convention as bench_scaling. Rebuilding the DataFrame
+        # prevents shuffle-file reuse from skipping real stages.
+        q(spark, sf_dir).count()
         t0 = time.time()
         df = q(spark, sf_dir)
         n = df.count()

@@ -36,19 +36,23 @@ def exact_duplicates(
 def word_shingles(
     docs: DataFrame, id_col: str = "doc_id", text_col: str = "text", n: int = 3,
 ) -> DataFrame:
-    """→ (id, shingle) DISTINCT word n-grams. Built with posexplode + lead
-    windows so the construction is expressible verbatim in ANSI SQL (the
-    oracle runs the same plan)."""
-    words = docs.select(
-        F.col(id_col), F.posexplode(F.split(F.col(text_col), " ")).alias("pos", "w"))
-    w = Window.partitionBy(id_col).orderBy("pos")
-    cols = [F.col("w")] + [F.lead("w", i).over(w) for i in range(1, n)]
-    sh = words.select(
-        F.col(id_col), F.concat_ws(" ", *cols).alias("shingle"),
-        *[F.lead("w", i).over(w).alias(f"_l{i}") for i in range(1, n)])
-    for i in range(1, n):
-        sh = sh.filter(F.col(f"_l{i}").isNotNull())
-    return sh.select(id_col, "shingle").distinct()
+    """→ (id, shingle) DISTINCT word n-grams, built with PURE array ops
+    (split → slice per index → explode): no window, so no doc-keyed
+    shuffle before the distinct — one shuffle total instead of two, and
+    far less generated code than the round-1 posexplode + lead-window
+    form. Mirrored verbatim in the oracle SQL (list slicing + scalar
+    generate_series)."""
+    # name the split array: inlining it would re-split the text once per
+    # shingle index (O(len²)); as a multi-referenced attribute it survives
+    # CollapseProject and evaluates once per row
+    with_arr = docs.withColumn("_arr", F.split(F.col(text_col), " "))
+    arr = F.col("_arr")
+    idxs = F.when(
+        F.size(arr) >= n, F.sequence(F.lit(1), F.size(arr) - (n - 1))
+    ).otherwise(F.array().cast("array<int>"))
+    shingles = F.transform(idxs, lambda i: F.concat_ws(" ", F.slice(arr, i, n)))
+    return (with_arr.select(F.col(id_col), F.explode(shingles).alias("shingle"))
+            .distinct())
 
 
 def jaccard_pairs(

@@ -418,14 +418,11 @@ FROM documents GROUP BY 1
 """
 
 _SHINGLE_SQL = """
-words AS (SELECT doc_id, generate_subscripts(l, 1) AS pos, unnest(l) AS w
-          FROM (SELECT doc_id, string_split(text, ' ') AS l FROM documents)),
-led AS (SELECT doc_id, w,
-        lead(w, 1) OVER (PARTITION BY doc_id ORDER BY pos) AS w1,
-        lead(w, 2) OVER (PARTITION BY doc_id ORDER BY pos) AS w2
+words AS (SELECT doc_id, string_split(text, ' ') AS l FROM documents),
+idx AS (SELECT doc_id, l, unnest(generate_series(1, len(l) - 2)) AS i
         FROM words),
-shingles AS (SELECT DISTINCT doc_id, w || ' ' || w1 || ' ' || w2 AS shingle
-             FROM led WHERE w1 IS NOT NULL AND w2 IS NOT NULL)
+shingles AS (SELECT DISTINCT doc_id,
+                    array_to_string(l[i:i+2], ' ') AS shingle FROM idx)
 """
 
 
@@ -799,13 +796,11 @@ def _simhash_oracle_sql() -> str:
     pack = (f"{pack_terms} + CASE WHEN b63 > 0 "
             f"THEN -9223372036854775808 ELSE 0 END")
     return f"""
-WITH words AS (SELECT doc_id, generate_subscripts(l, 1) AS pos, unnest(l) AS w
-               FROM (SELECT doc_id, string_split(text, ' ') AS l FROM documents)),
-led AS (SELECT doc_id, w,
-        lead(w, 1) OVER (PARTITION BY doc_id ORDER BY pos) AS w1
+WITH words AS (SELECT doc_id, string_split(text, ' ') AS l FROM documents),
+idx AS (SELECT doc_id, l, unnest(generate_series(1, len(l) - 1)) AS i
         FROM words),
-shingles AS (SELECT DISTINCT doc_id, w || ' ' || w1 AS shingle
-             FROM led WHERE w1 IS NOT NULL),
+shingles AS (SELECT DISTINCT doc_id,
+                    array_to_string(l[i:i+1], ' ') AS shingle FROM idx),
 hashed AS (SELECT doc_id, {h_expr} AS h FROM shingles),
 votes AS (SELECT doc_id, {votes} FROM hashed GROUP BY doc_id)
 SELECT doc_id, {pack} AS simhash FROM votes
