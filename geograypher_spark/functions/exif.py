@@ -120,6 +120,8 @@ def parse_jpeg_gps(data: bytes) -> dict | None:
         if marker == 0xDA:      # start of scan — no more metadata
             return None
         (seg_len,) = struct.unpack_from(">H", data, off + 2)
+        if seg_len < 2:          # malformed length would loop forever
+            return None
         if marker == 0xE1 and data[off + 4:off + 10] == b"Exif\x00\x00":
             return parse_tiff_gps(data[off + 10:off + 2 + seg_len])
         off += 2 + seg_len

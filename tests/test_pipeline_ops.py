@@ -388,3 +388,10 @@ class TestIvf:
                                   refine_iters=1)
         assert out.groupBy("vec_id").count().agg(
             F.max("count")).collect()[0][0] <= 2
+
+    def test_malformed_jpeg_segment_does_not_hang(self):
+        from geograypher_spark.functions.exif import parse_jpeg_gps
+
+        # APP1 marker with an invalid (0) segment length must bail, not loop
+        assert parse_jpeg_gps(b"\xff\xd8\xff\xe1\x00\x00rest") is None
+        assert parse_jpeg_gps(b"\xff\xd8\xff") is None
