@@ -1,0 +1,68 @@
+"""Physical-plan regression guards: the properties that make the 100 TB
+story true must stay visible in the executed plan — column pruning into
+the parquet scan, broadcast joins for small sides, no accidental
+cartesian products, whole-stage codegen on the hot paths."""
+
+import re
+
+import pytest
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+def _plan(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+@pytest.fixture(scope="module")
+def queries():
+    from geograypher_spark.plans import driver_queries as DQ
+
+    return DQ.QUERIES
+
+
+def test_pip_scan_prunes_columns(spark, queries):
+    plan = _plan(queries["points_in_polygons"](spark, SF_DIR))
+    schemas = re.findall(r"ReadSchema: struct<([^>]*)>", plan)
+    assert schemas, "no parquet scan found"
+    for s in schemas:
+        cols = {c.split(":")[0] for c in s.split(",") if c}
+        assert cols <= {"l_orderkey", "l_partkey", "l_linenumber"}, cols
+
+
+def test_pip_uses_broadcast_join(spark, queries):
+    plan = _plan(queries["points_in_polygons"](spark, SF_DIR))
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_no_cartesian_in_headline(spark, queries):
+    # every headline query except the documented O(N^2) brute-force
+    # baseline must be free of cartesian/nested-loop joins
+    for name in ["points_in_polygons", "label_polygons", "tile_argmax",
+                 "knn", "proximity_edges", "dedup_jaccard",
+                 "minhash_signatures", "ann_lsh", "ann_ivf", "doc_roundtrip"]:
+        plan = _plan(queries[name](spark, SF_DIR))
+        assert "CartesianProduct" not in plan, name
+        assert "BroadcastNestedLoopJoin" not in plan, name
+
+
+def test_proximity_kernel_stays_staged(spark, queries):
+    """The tau filter must NOT be pushed below the staged distance
+    projections (round-1 bug: pushdown inlined a ~256KB predicate that
+    blew janino's 64KB method limit and fell back to interpreted eval)."""
+    plan = _plan(queries["proximity_edges"](spark, SF_DIR))
+    # the non-determinism tag keeps the filter above the projections
+    assert "rand(" in plan
+    # the staged intermediates survive as named projections
+    assert plan.count("Project") >= 3
+
+
+def test_jaccard_single_shingle_construction(spark, queries):
+    """The persisted shingle set must appear as InMemoryTableScan branches,
+    not as repeated scan+construction subplans (round-2 fix: 8 scans)."""
+    plan = _plan(queries["dedup_jaccard"](spark, SF_DIR))
+    # every shingle consumer branch reads the cache (the parquet scan text
+    # inside each InMemoryTableScan is the cached plan's description, not
+    # a runtime scan — the build runs once)
+    assert plan.count("InMemoryTableScan") >= 3
