@@ -867,6 +867,34 @@ FROM ranked WHERE rank <= 3
 """
 
 
+def q_dtm_sample(spark, sf_dir):
+    """S5 bilinear DTM sampling with an EXACT closed-form oracle: the DTM
+    is the linear field z(xc, yc) = xc + 2*yc at pixel centers (float32
+    stores these half-integer values exactly), query points sit on a
+    1/64 grid (dyadic → exact pixel fractions), and bilinear interpolation
+    reproduces a linear field exactly in exact arithmetic — so the engine
+    value IS x + 2*y bit-for-bit."""
+    from ..operators.dtm import dtm_tiles_from_array, sample_dtm
+
+    r = np.arange(64)[:, None]
+    c = np.arange(64)[None, :]
+    height = (c + 0.5) + 2.0 * (64.0 - (r + 0.5))   # z = xc + 2*yc
+    tiles = dtm_tiles_from_array(spark, height, x0=0.0, y0=64.0, gsd=1.0)
+    pts = _t(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("point_id"),
+        ((F.col("c_custkey") * 7919 % 4032) / F.lit(64.0) + F.lit(0.5)).alias("x"),
+        ((F.col("c_custkey") * 104729 % 4032) / F.lit(64.0) + F.lit(0.5)).alias("y"))
+    return sample_dtm(pts, tiles, grid_y0=64.0).select("point_id", "ground_z")
+
+
+SQL_DTM_SAMPLE = """
+SELECT c_custkey AS point_id,
+       ((c_custkey * 7919 % 4032) / 64.0 + 0.5)
+         + 2 * ((c_custkey * 104729 % 4032) / 64.0 + 0.5) AS ground_z
+FROM customer
+"""
+
+
 _IVF_LISTS = 16
 _IVF_PROBE = 4
 
@@ -1009,6 +1037,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "simhash": q_simhash,
     "ann_lsh": q_ann_lsh,
     "ann_ivf": q_ann_ivf,
+    "dtm_sample": q_dtm_sample,
     "rasterize_scene": q_rasterize_scene,
     "multimodal_features": q_multimodal_features,
     "forward_pipeline": q_forward_pipeline,
@@ -1045,6 +1074,7 @@ ORACLES: dict[str, str] = {
     "simhash": _simhash_oracle_sql(),
     "ann_lsh": _ann_lsh_oracle_sql(),
     "ann_ivf": SQL_ANN_IVF,
+    "dtm_sample": SQL_DTM_SAMPLE,
     "rasterize_scene": None,
     "forward_pipeline": None,
     "multimodal_features": SQL_MULTIMODAL_FEATURES,

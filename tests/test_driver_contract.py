@@ -84,7 +84,7 @@ def test_every_query_has_runnable_callable(contract, spark):
     # round-2: formerly rows-only kernels, now with computed oracles
     # (analytic fixtures / portable hashes / integer-exact arithmetic)
     "visibility_zbuffer", "face_class_union", "triangulate", "simhash",
-    "ann_lsh", "ann_ivf", "rasterize_scene", "multimodal_features",
+    "ann_lsh", "ann_ivf", "dtm_sample", "rasterize_scene", "multimodal_features",
     "forward_pipeline",
 ])
 def test_query_matches_oracle(contract, spark, duck, name):
