@@ -4,9 +4,11 @@
 ``queries()`` — one entry per implemented operator (SURVEY.md §2 +
 training-data-pipeline ops); each callable takes (spark, sf_dir).
 ``oracle_sql()`` — DuckDB-runnable ANSI SQL twins for the value-hash
-correctness gate. Rows-only ops (custom kernels: z-buffer visibility,
-geometry union, triangulation, simhash, LSH-ANN, scene rasterization,
-multimodal stubs) intentionally have no oracle entry.
+correctness gate. EVERY queries() entry has an oracle (round 2): the
+render/union/triangulation/ANN kernels run on analytic fixtures whose
+expected output the SQL computes in closed form — see
+``plans/driver_queries.py`` and ``sources/analytic.py`` for the
+exactness derivations (no pinned engine output anywhere).
 """
 
 from __future__ import annotations
