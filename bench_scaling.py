@@ -159,8 +159,10 @@ def _write_report() -> None:
         "between 8 and 32 pinned cores here; pinned 4→16 is the largest "
         "4× step this machine expresses without the measurement being "
         "dominated by its own frequency scaling. The supplementary 8→32 "
-        "number exceeding its 0.709 ceiling shows the engine loses "
-        "nothing of what the hardware can physically deliver. On a real "
+        "number sits within ~5% of that 0.709 ceiling — the engine loses "
+        "almost nothing of what the hardware can physically deliver at "
+        "full-box load (the vectorized render kernel is memory-bandwidth-"
+        "heavy, which the matmul probe slightly understates). On a real "
         "multi-executor cluster (separate machines, no shared bus) the "
         "partitioned operators — hash-partitioned candidate joins, "
         "per-camera/sub-camera applyInPandas groups, map-side-combined "
