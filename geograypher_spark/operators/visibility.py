@@ -101,7 +101,10 @@ def rasterize_zbuffer(
         members = idx_all[size_cls == cls]
         side = 1 << int(cls)
         per_face = side * side
-        chunk = max(1, 2_000_000 // per_face)
+        # small chunk target keeps the 5 per-chunk barycentric temporaries
+        # cache-resident (~2 MB each) — at 32 concurrent renders the large
+        # version saturated the shared memory bus
+        chunk = max(1, 262_144 // per_face)
         off = np.arange(side)
         for lo in range(0, len(members), chunk):
             i = members[lo:lo + chunk]           # (m,)
@@ -132,14 +135,19 @@ def rasterize_zbuffer(
             fid_parts.append(FID[i][fi])
     if not pix_parts:
         return _out()
-    pix = np.concatenate(pix_parts)
-    dep = np.concatenate(dep_parts)
-    fid = np.concatenate(fid_parts)
-    order = np.lexsort((fid, dep, pix))
-    first = np.unique(pix[order], return_index=True)[1]
-    sel = order[first]
-    img_face.flat[pix[sel]] = fid[sel]
-    img_depth.flat[pix[sel]] = dep[sel]
+    # two linear scatter passes instead of a global lexsort (n log n with
+    # random access): pass 1 takes the min depth per pixel, pass 2 the min
+    # face id among exact-min-depth samples — identical semantics to the
+    # sequential face_id-ordered strict-< loop (winner = min(depth, fid)).
+    depth_flat = img_depth.ravel()
+    for pix, dep in zip(pix_parts, dep_parts):
+        np.minimum.at(depth_flat, pix, dep)
+    fid_flat = np.full(h * w, np.iinfo(np.int64).max, dtype=np.int64)
+    for pix, dep, fid in zip(pix_parts, dep_parts, fid_parts):
+        win = dep == depth_flat[pix]
+        np.minimum.at(fid_flat, pix[win], fid[win])
+    hit = np.isfinite(depth_flat)
+    img_face.flat[hit] = fid_flat[hit]
     return _out()
 
 

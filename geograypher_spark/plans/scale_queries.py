@@ -24,11 +24,11 @@ def sq_visibility_big(spark, sf_dir):
     from ..operators.visibility import visibility_join
 
     # focal scaled with image so the mesh footprint fills the frame —
-    # real per-pixel rasterization load, not just per-face loop overhead;
-    # 576 cameras ≈ 70 s of kernel CPU — the shuffle/IPC floor (~3 s)
-    # becomes noise, so the measurement reflects operator parallelism
+    # real per-pixel rasterization load; sized up again after the round-2
+    # kernel vectorization (~20x faster) so kernel time still dominates
+    # the shuffle/IPC floor and the measurement reflects parallelism
     scene = make_scene(seed=42, camera_grid=24, ground_grid=60,
-                       image_size=720, focal=800.0,
+                       image_size=1440, focal=1600.0,
                        n_boxes=6, n_cylinders=6, n_cones=4)
     verts, faces, polys, cams = scene_to_spark(spark, scene)
     return visibility_join(cams, faces)
