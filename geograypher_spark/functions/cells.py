@@ -9,6 +9,9 @@ planar working CRS:
     cell(r, x, y) = (r, floor(x / s(r)), floor(y / s(r))),  s(r) = BASE / 2^r
 
 packed into one int64 so Spark can hash-partition / equi-join on it.
+(Caveat found by property testing: for SUBNORMAL coordinates within
+~1e-308 of a cell edge, floor(x/s) can underflow inconsistently across
+resolutions; meter-valued survey coordinates never get there.)
 Everything here is **pure Spark column expressions** (whole-stage codegen,
 no Python), with numpy twins for use inside pandas UDFs and tests.
 

@@ -243,7 +243,17 @@ def clip_ring_halfplane(
             d = side[j] - side_n[j]
             t = side[j] / d if d != 0 else 0.0
             new_pts.append(out[j] + t * (nxt[j] - out[j]))
-    return np.asarray(new_pts) if new_pts else np.empty((0, 2))
+    if not new_pts:
+        return np.empty((0, 2))
+    ring = np.asarray(new_pts)
+    # drop consecutive duplicates (an intersection landing ON an existing
+    # vertex emits it twice): degenerate repeated vertices break ear
+    # clipping and intersection tests downstream — found by hypothesis
+    keep = np.ones(len(ring), dtype=bool)
+    for j in range(len(ring)):
+        if np.all(np.abs(ring[j] - ring[(j + 1) % len(ring)]) < 1e-12):
+            keep[(j + 1) % len(ring)] = False
+    return ring[keep]
 
 
 def convex_pieces_minus_triangle(
