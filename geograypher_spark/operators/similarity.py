@@ -279,6 +279,15 @@ def cosine_topk_ivf(
         n_lists = max(1, int(np.ceil(np.sqrt(n_vectors))))
     anchors_rows = (embeddings.orderBy(id_col).limit(n_lists)
                     .select(id_col, vec_col).collect())
+    if not anchors_rows:  # empty corpus → empty result, typed
+        from pyspark.sql import types as T
+
+        id_type = embeddings.schema[id_col].dataType
+        return embeddings.sparkSession.createDataFrame([], T.StructType([
+            T.StructField("vec_id", id_type),
+            T.StructField("neighbor_id", id_type),
+            T.StructField("rank", T.IntegerType()),
+            T.StructField("sim", T.DoubleType())]))
     C = np.round(np.stack([np.asarray(r[vec_col], dtype=np.float64)
                            for r in anchors_rows]) * scale)  # (L, d) ints
     c_n2 = (C * C).sum(axis=1)

@@ -395,3 +395,29 @@ class TestIvf:
         # APP1 marker with an invalid (0) segment length must bail, not loop
         assert parse_jpeg_gps(b"\xff\xd8\xff\xe1\x00\x00rest") is None
         assert parse_jpeg_gps(b"\xff\xd8\xff") is None
+
+
+class TestEdgeCases:
+    """Degenerate inputs must return empty typed results, not crash."""
+
+    def _emb(self, spark, n):
+        if n == 0:
+            return spark.createDataFrame([], "vec_id long, embedding array<float>")
+        return spark.createDataFrame(pd.DataFrame({
+            "vec_id": np.arange(n, dtype=np.int64),
+            "embedding": [np.ones(8, dtype=np.float32) * (k + 1) for k in range(n)]}))
+
+    def test_similarity_empty_and_singleton(self, spark):
+        for n in (0, 1):
+            assert SIM.cosine_topk_lsh(self._emb(spark, n), k=2).count() == 0
+            assert SIM.cosine_topk_ivf(self._emb(spark, n), k=2).count() == 0
+
+    def test_ivf_fewer_vectors_than_lists(self, spark):
+        out = SIM.cosine_topk_ivf(self._emb(spark, 3), k=2,
+                                  n_lists=16, n_probe=4)
+        assert out.count() == 6  # every pair found
+
+    def test_dedup_empty(self, spark):
+        empty = spark.createDataFrame([], "doc_id string, text string")
+        assert DD.jaccard_pairs(empty).count() == 0
+        assert DD.simhash(empty).count() == 0
