@@ -87,17 +87,47 @@ def flat_mesh_faces_pdf() -> pd.DataFrame:
 def nadir_cameras_pdf() -> pd.DataFrame:
     rows = []
     for cam in CAMERAS:
-        c2w = [1.0, 0, 0, cam["offx"], 0, -1.0, 0, cam["offy"],
-               0, 0, -1.0, CAM_Z, 0, 0, 0, 1.0]
+        # all-float literals: the driver harness runs without Arrow, and
+        # Spark's non-Arrow schema inference rejects mixed int/float lists.
+        c2w = [1.0, 0.0, 0.0, float(cam["offx"]),
+               0.0, -1.0, 0.0, float(cam["offy"]),
+               0.0, 0.0, -1.0, float(CAM_Z),
+               0.0, 0.0, 0.0, 1.0]
         rows.append({"camera_id": cam["camera_id"], "cam_to_world": c2w,
                      "f": CAM_F, "cx": 0.0, "cy": 0.0,
                      "w": CAM_W, "h": CAM_H})
     return pd.DataFrame(rows)
 
 
+def _faces_schema():
+    from pyspark.sql import types as T
+    fields = [T.StructField("face_id", T.LongType())]
+    fields += [T.StructField(c, T.LongType()) for c in ("v0", "v1", "v2")]
+    fields += [T.StructField(c, T.DoubleType())
+               for c in ("x0", "y0", "z0", "x1", "y1", "z1",
+                         "x2", "y2", "z2", "cx", "cy", "cz")]
+    fields.append(T.StructField("class_id", T.LongType()))
+    return T.StructType(fields)
+
+
+def _cameras_schema():
+    from pyspark.sql import types as T
+    return T.StructType([
+        T.StructField("camera_id", T.LongType()),
+        T.StructField("cam_to_world", T.ArrayType(T.DoubleType())),
+        T.StructField("f", T.DoubleType()),
+        T.StructField("cx", T.DoubleType()),
+        T.StructField("cy", T.DoubleType()),
+        T.StructField("w", T.LongType()),
+        T.StructField("h", T.LongType()),
+    ])
+
+
 def flat_mesh_spark(spark):
-    faces = spark.createDataFrame(flat_mesh_faces_pdf())
-    cams = spark.createDataFrame(nadir_cameras_pdf())
+    # Explicit schemas on both calls: the driver's Arrow-less session cannot
+    # infer array<double> from pandas object columns (round-2 VERDICT #1).
+    faces = spark.createDataFrame(flat_mesh_faces_pdf(), schema=_faces_schema())
+    cams = spark.createDataFrame(nadir_cameras_pdf(), schema=_cameras_schema())
     return faces, cams
 
 

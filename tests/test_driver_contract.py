@@ -1,6 +1,12 @@
 """Local mirror of the driver's correctness gate: run every queries() entry
 and compare against its oracle_sql() via DuckDB (row count + sorted-value
-equality), at sf0.01 — the same scale the driver uses."""
+equality), at sf0.01 — the same scale the driver uses.
+
+The whole module runs with Arrow conversion DISABLED, mirroring the driver
+harness's session config: rounds 1 and 2 both shipped fixtures that passed
+the Arrow-enabled local suite but died at the driver's Arrow-less
+createDataFrame schema inference (VERDICT r2 #1). Any contract query that
+depends on Arrow-only inference now fails locally first."""
 
 import numpy as np
 import pandas as pd
@@ -20,6 +26,16 @@ def contract():
     mod = importlib.util.module_from_spec(spec)
     spec.loader.exec_module(mod)
     return mod
+
+
+@pytest.fixture(scope="module", autouse=True)
+def arrow_off(spark):
+    """Run the contract module under the driver's Arrow-less session config."""
+    key = "spark.sql.execution.arrow.pyspark.enabled"
+    prev = spark.conf.get(key)
+    spark.conf.set(key, "false")
+    yield
+    spark.conf.set(key, prev)
 
 
 @pytest.fixture(scope="module")
