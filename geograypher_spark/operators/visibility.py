@@ -43,11 +43,18 @@ def rasterize_zbuffer(
     face_ids: np.ndarray,
     w: int, h: int,
     return_depth: bool = False,
+    ortho: bool = False,
 ):
     """(h, w) int64 image of face ids, -1 = no hit. Pixel (r, c) sampled at
     image coords (c+0.5, r+0.5). Perspective-correct depth via linear 1/z.
     ``return_depth=True`` also returns the (h, w) float64 depth buffer
     (inf = no hit) for partial-image z-merging.
+
+    ``ortho=True`` switches to orthographic semantics: depth interpolates
+    LINEARLY in screen space (exact for a parallel projection) and the
+    behind-camera vertex gate is skipped (any depth sign is valid — an
+    orthographic 'camera' has no apex). Winner per pixel is still
+    min (depth, face_id); callers wanting highest-z-wins pass depth = -z.
 
     FULLY VECTORIZED: faces are bucketed by power-of-two bbox size class,
     each bucket evaluates its barycentrics for all faces at once (chunked
@@ -66,12 +73,17 @@ def rasterize_zbuffer(
     n = len(face_ids)
     if n == 0:
         return _out()
-    # skip faces with any vertex at/behind the camera (scene cameras are
-    # above the mesh; general frustum clipping is future work)
-    ok = (tri_z > 1e-12).all(axis=1)
-    P = np.asarray(tri_px, dtype=np.float64)[ok]
-    Z = np.asarray(tri_z, dtype=np.float64)[ok]
-    FID = np.asarray(face_ids, dtype=np.int64)[ok]
+    if ortho:
+        P = np.asarray(tri_px, dtype=np.float64)
+        Z = np.asarray(tri_z, dtype=np.float64)
+        FID = np.asarray(face_ids, dtype=np.int64)
+    else:
+        # skip faces with any vertex at/behind the camera (scene cameras are
+        # above the mesh; general frustum clipping is future work)
+        ok = (tri_z > 1e-12).all(axis=1)
+        P = np.asarray(tri_px, dtype=np.float64)[ok]
+        Z = np.asarray(tri_z, dtype=np.float64)[ok]
+        FID = np.asarray(face_ids, dtype=np.int64)[ok]
     if len(P) == 0:
         return _out()
     x0, y0 = P[:, 0, 0], P[:, 0, 1]
@@ -124,11 +136,16 @@ def rasterize_zbuffer(
             inside = (l0 >= 0) & (l1 >= 0) & (l2 >= 0) & inbox
             if not inside.any():
                 continue
-            inv_z = (l0 / Z[i, 0][:, None, None]
-                     + l1 / Z[i, 1][:, None, None]
-                     + l2 / Z[i, 2][:, None, None])
-            with np.errstate(divide="ignore"):
-                depth = 1.0 / inv_z
+            if ortho:
+                depth = (l0 * Z[i, 0][:, None, None]
+                         + l1 * Z[i, 1][:, None, None]
+                         + l2 * Z[i, 2][:, None, None])
+            else:
+                inv_z = (l0 / Z[i, 0][:, None, None]
+                         + l1 / Z[i, 1][:, None, None]
+                         + l2 / Z[i, 2][:, None, None])
+                with np.errstate(divide="ignore"):
+                    depth = 1.0 / inv_z
             fi, rr, cc = np.nonzero(inside)
             pix_parts.append((ry[fi, rr, 0] * w + rx[fi, 0, cc]).astype(np.int64))
             dep_parts.append(depth[fi, rr, cc])
@@ -531,11 +548,17 @@ def render_label_images(
         lab = np.full(img.shape, nodata, dtype=np.uint8)
         hit = img >= 0
         if hit.any():
-            local = dict(zip(pdf["face_id"].astype(np.int64),
-                             pdf[class_col].astype(np.int64)))
-            lab[hit] = np.vectorize(
-                lambda f: local.get(int(f), nodata), otypes=[np.uint8]
-            )(img[hit])
+            # sorted-gather instead of a per-pixel dict lambda: on a real
+            # 4000x3000 frame the lambda was ~10^7 Python calls per camera
+            fids = pdf["face_id"].to_numpy(np.int64)
+            order = np.argsort(fids, kind="stable")
+            sf = fids[order]
+            scls = pdf[class_col].to_numpy(np.int64)[order]
+            ids = img[hit]
+            pos = np.clip(np.searchsorted(sf, ids), 0, len(sf) - 1)
+            vals = scls[pos].astype(np.uint8)
+            vals[sf[pos] != ids] = nodata   # id not in group (defensive)
+            lab[hit] = vals
         return pd.DataFrame({
             "camera_id": [key[0]],
             "w": [img.shape[1]], "h": [img.shape[0]],

@@ -22,6 +22,9 @@ from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+import pandas as pd
 
 from ..operators import aggregates as A
 from ..operators import dedup as DD
@@ -970,6 +973,41 @@ def q_forward_pipeline(spark, sf_dir):
     return forward_pipeline(spark, cams, faces, None, truth)
 
 
+def q_render_labels(spark, sf_dir):
+    """The REVERSE entrypoint (render_labels_pipeline, SURVEY §3.2)
+    end-to-end on the analytic fixture: stripe polygons → vertex PIP →
+    per-face mode vote → per-camera z-buffer render + class gather. The
+    label images decode to (camera_id, class_id, pixel_count) rows; the
+    oracle recomputes them from the closed-form pixel→face→stripe-class
+    mapping (sources/analytic.py reverse-fixture derivation)."""
+    from ..plans.pipelines import render_labels_pipeline
+    from ..sources import analytic as AN
+
+    faces, cams, verts, polys = AN.reverse_fixture_spark(spark)
+    imgs = render_labels_pipeline(spark, cams, faces.drop("class_id"),
+                                  verts, polys)
+    schema = T.StructType([
+        T.StructField("camera_id", T.LongType()),
+        T.StructField("class_id", T.IntegerType()),
+        T.StructField("pixel_count", T.LongType())])
+
+    def decode(batches):
+        for pdf in batches:
+            out = {"camera_id": [], "class_id": [], "pixel_count": []}
+            for r in pdf.itertuples(index=False):
+                img = np.frombuffer(r.label_image, dtype=np.uint8)
+                vals, counts = np.unique(img[img != 255], return_counts=True)
+                out["camera_id"].extend([int(r.camera_id)] * len(vals))
+                out["class_id"].extend(int(v) for v in vals)
+                out["pixel_count"].extend(int(c) for c in counts)
+            yield pd.DataFrame({
+                "camera_id": pd.Series(out["camera_id"], dtype="int64"),
+                "class_id": pd.Series(out["class_id"], dtype="int32"),
+                "pixel_count": pd.Series(out["pixel_count"], dtype="int64")})
+
+    return imgs.mapInPandas(decode, schema=schema)
+
+
 def q_multimodal_features(spark, sf_dir):
     """Multimodal plumbing: stub decode → pooled features (deterministic,
     SQL-expressible: pixel p = (s*(p+1) + p*p) mod 256, s from md5)."""
@@ -1041,6 +1079,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "rasterize_scene": q_rasterize_scene,
     "multimodal_features": q_multimodal_features,
     "forward_pipeline": q_forward_pipeline,
+    "render_labels": q_render_labels,
 }
 
 ORACLES: dict[str, str] = {
@@ -1077,6 +1116,7 @@ ORACLES: dict[str, str] = {
     "dtm_sample": SQL_DTM_SAMPLE,
     "rasterize_scene": None,
     "forward_pipeline": None,
+    "render_labels": None,
     "multimodal_features": SQL_MULTIMODAL_FEATURES,
 }
 
@@ -1087,6 +1127,7 @@ def _fill_analytic_oracles() -> None:
     ORACLES["visibility_zbuffer"] = AN.SQL_VISIBILITY_ANALYTIC
     ORACLES["rasterize_scene"] = AN.rasterize_oracle_sql()
     ORACLES["forward_pipeline"] = AN.forward_oracle_sql()
+    ORACLES["render_labels"] = AN.render_labels_oracle_sql()
 
 
 _fill_analytic_oracles()

@@ -132,6 +132,75 @@ def flat_mesh_spark(spark):
 
 
 # ---------------------------------------------------------------------------
+# Reverse-pipeline fixture: stripe label polygons over the flat mesh
+# ---------------------------------------------------------------------------
+# Vertical x-stripes STRIPE_W cells wide label every mesh vertex; stripe
+# boundaries sit at (STRIPE_W*m - 0.5)*CELL - EXTENT, half a cell from any
+# vertex, so the PIP stage is unambiguous. Vertex i (vert-index along x)
+# gets class (i // STRIPE_W) % N_CLASSES. The per-face 3-vertex mode vote
+# is then closed-form: the lower triangle of cell (i, j) has two vertices
+# at vert-index i+1 (majority), the upper two at i — so
+#   face_class(lower) = cls(i+1),  face_class(upper) = cls(i),
+# with ties only when cls(i) == cls(i+1) (unanimous, same answer).
+
+STRIPE_W = 4
+
+
+def flat_mesh_verts_pdf() -> pd.DataFrame:
+    xs = np.linspace(-EXTENT, EXTENT, N)
+    gx, gy = np.meshgrid(xs, xs, indexing="ij")
+    return pd.DataFrame({
+        "vert_id": np.arange(N * N, dtype=np.int64),
+        "x": gx.ravel(), "y": gy.ravel()})
+
+
+def stripe_polygons_pdf() -> pd.DataFrame:
+    from ..functions import geometry as geom
+
+    n_stripes = (N - 1) // STRIPE_W + 1
+    rows = []
+    for m in range(n_stripes):
+        x_lo = (STRIPE_W * m - 0.5) * CELL - EXTENT
+        x_hi = (STRIPE_W * (m + 1) - 0.5) * CELL - EXTENT
+        wkb = geom.polygon_to_wkb(
+            [geom.rect_ring(x_lo, -EXTENT - 1.0, x_hi, EXTENT + 1.0)])
+        rows.append({"polygon_id": m, "class_id": m % N_CLASSES,
+                     "geometry_wkb": wkb})
+    return pd.DataFrame(rows)
+
+
+def reverse_fixture_spark(spark):
+    """(faces, cams, verts, polygons) for render_labels_pipeline."""
+    from pyspark.sql import types as T
+
+    faces, cams = flat_mesh_spark(spark)
+    verts = spark.createDataFrame(flat_mesh_verts_pdf(), schema=T.StructType([
+        T.StructField("vert_id", T.LongType()),
+        T.StructField("x", T.DoubleType()),
+        T.StructField("y", T.DoubleType())]))
+    polys = spark.createDataFrame(stripe_polygons_pdf(), schema=T.StructType([
+        T.StructField("polygon_id", T.LongType()),
+        T.StructField("class_id", T.LongType()),
+        T.StructField("geometry_wkb", T.BinaryType())]))
+    return faces, cams, verts, polys
+
+
+def render_labels_oracle_sql() -> str:
+    """Per-camera per-class label-image pixel counts, closed-form: pixel →
+    cell (i, u, v) via the shared visibility mapping, face class via the
+    stripe mode-vote formula above."""
+    return f"""
+WITH {visibility_pixels_sql()}
+SELECT camera_id,
+       CAST((CASE WHEN v <= u THEN (i + 1) // {STRIPE_W}
+                  ELSE i // {STRIPE_W} END) % {N_CLASSES} AS INTEGER)
+         AS class_id,
+       count(*) AS pixel_count
+FROM pixface GROUP BY 1, 2
+"""
+
+
+# ---------------------------------------------------------------------------
 # SQL oracle fragments (DuckDB): the analytic pixel→face mapping
 # ---------------------------------------------------------------------------
 
