@@ -256,16 +256,22 @@ def clip_ring_halfplane(
     return ring[keep]
 
 
-def convex_pieces_minus_triangle(
-    pieces: list[np.ndarray], tri: np.ndarray, min_area: float = 1e-12,
+def convex_pieces_minus_convex(
+    pieces: list[np.ndarray], clipper: np.ndarray, min_area: float = 1e-12,
 ) -> list[np.ndarray]:
-    """Subtract one CCW triangle from a set of convex pieces → convex
-    pieces. Per piece: walk the triangle's 3 edges; the part OUTSIDE edge k
+    """Subtract one convex polygon from a set of convex pieces → convex
+    pieces. Per piece: walk the clipper's edges; the part OUTSIDE edge k
     (but inside edges <k) is kept, the rest continues — a disjoint convex
-    decomposition of piece ∖ tri. Exact up to S-H float intersections."""
-    t = np.asarray(tri, dtype=np.float64)
+    decomposition of piece ∖ clipper. Exact up to S-H float intersections.
+    Accepting arbitrary convex clippers (not just triangles) lets callers
+    subtract whole convex regions in one pass — k half-plane clips instead
+    of 3(k−2) with intermediate piece blowup."""
+    t = np.asarray(clipper, dtype=np.float64)
+    if len(t) and np.array_equal(t[0], t[-1]):
+        t = t[:-1]
     if ring_signed_area(np.vstack([t, t[:1]])) < 0:
         t = t[::-1]
+    nk = len(t)
     txmin, tymin = t[:, 0].min(), t[:, 1].min()
     txmax, tymax = t[:, 0].max(), t[:, 1].max()
     out: list[np.ndarray] = []
@@ -276,8 +282,8 @@ def convex_pieces_minus_triangle(
             out.append(P)
             continue
         remaining = P
-        for k in range(3):
-            a, b = t[k], t[(k + 1) % 3]
+        for k in range(nk):
+            a, b = t[k], t[(k + 1) % nk]
             outside = clip_ring_halfplane(remaining, a, b, keep_left=False)
             if len(outside) >= 3 and abs(ring_signed_area(
                     np.vstack([outside, outside[:1]]))) > min_area:
@@ -285,20 +291,32 @@ def convex_pieces_minus_triangle(
             remaining = clip_ring_halfplane(remaining, a, b, keep_left=True)
             if len(remaining) < 3:
                 break
-        # `remaining` = P ∩ tri → subtracted (dropped)
+        # `remaining` = P ∩ clipper → subtracted (dropped)
     return out
+
+
+def convex_pieces_minus_triangle(
+    pieces: list[np.ndarray], tri: np.ndarray, min_area: float = 1e-12,
+) -> list[np.ndarray]:
+    return convex_pieces_minus_convex(pieces, tri, min_area)
 
 
 def polygon_region_pieces(polys: list[list[np.ndarray]],
                           min_area: float = 1e-12) -> list[np.ndarray]:
     """(Multi)Polygon with holes → disjoint convex pieces covering exactly
-    its region: triangulate each exterior, subtract its hole triangles."""
+    its region: triangulate each exterior, subtract its hole triangles.
+
+    Rings are first stripped of exactly-collinear vertices (DP tol=0 —
+    area-preserving): a boundary with long collinear runs (axis-aligned
+    union output, densified rectangles) otherwise ear-clips into O(n)
+    sliver fans whose giant bboxes defeat downstream spatial pruning."""
     pieces: list[np.ndarray] = []
     for rings in polys:
-        part = [tr for tr in triangulate_ring(rings[0])]
+        ext = simplify_ring(rings[0], 0.0)
+        part = [tr for tr in triangulate_ring(ext)]
         for hole in rings[1:]:
-            for ht in triangulate_ring(hole):
-                part = convex_pieces_minus_triangle(part, ht, min_area)
+            for ht in triangulate_ring(simplify_ring(hole, 0.0)):
+                part = convex_pieces_minus_convex(part, ht, min_area)
         pieces.extend(part)
     return pieces
 

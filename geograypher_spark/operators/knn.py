@@ -38,8 +38,15 @@ def _ring_cells_col(x, y, res: int, k: int):
 
 def auto_resolution(refs: DataFrame, x: str, y: str, target_per_cell: float = 4.0) -> int:
     """Pick the grid resolution from reference density so a ring-1 search
-    sees ~9·target candidates: cell_size ≈ sqrt(area·target/n). One cheap
-    agg job; the distributed analog of KDTree balancing."""
+    sees ~9·target candidates. One cheap agg job; the distributed analog
+    of KDTree balancing.
+
+    Solves (ex/c + 1)(ey/c + 1) = n/target for the cell size c — the
+    occupied-cell count including the +1 per axis, so a DEGENERATE extent
+    (all refs collinear, or a single point) degrades to the 1D answer
+    c = (ex+ey)·target/n instead of c → 0 / res → MAX (the old
+    area-product formula sent every collinear input to max res and the
+    ring expansion could never reach its neighbors — round-2 VERDICT #8)."""
     import math
 
     row = refs.agg(
@@ -47,9 +54,18 @@ def auto_resolution(refs: DataFrame, x: str, y: str, target_per_cell: float = 4.
         F.min(y).alias("y0"), F.max(y).alias("y1"),
         F.count(F.lit(1)).alias("n")).collect()[0]
     n = max(int(row["n"]), 1)
-    area = max((row["x1"] - row["x0"]) * (row["y1"] - row["y0"]), 1e-12)
-    cell = math.sqrt(area * target_per_cell / n)
-    res = int(round(math.log2(C.BASE / cell)))
+    ex = max(float(row["x1"] - row["x0"]), 0.0)
+    ey = max(float(row["y1"] - row["y0"]), 0.0)
+    m = n / target_per_cell
+    if ex + ey <= 0.0 or m <= 1.0:
+        # all refs in one spot, or fewer refs than one cell's target:
+        # coarsest grid — everything lands in O(1) cells
+        return 0
+    # rationalized root of ex·ey·u² + (ex+ey)·u + (1−m) = 0, u = 1/c
+    # (no cancellation, exact 1D limit as ex·ey → 0)
+    u = (2.0 * (m - 1.0)) / (
+        (ex + ey) + math.sqrt((ex + ey) ** 2 + 4.0 * ex * ey * (m - 1.0)))
+    res = int(round(math.log2(C.BASE * u)))
     return max(0, min(C.MAX_RES, res))
 
 
@@ -69,6 +85,12 @@ def knn_join(
     radius, and a hit is only accepted once the ring guarantees no closer
     ref outside (dist ≤ ring_radius), so results equal the KDTree answer.
     ``res=None`` auto-sizes cells from reference density.
+
+    Each expansion round is driver-synchronized (2 actions + 2
+    localCheckpoints): the design assumes DENSE refs relative to queries —
+    the texture-transfer use case resolves nearly everything in round 1
+    and the loop is O(log sparsity) rounds only for stragglers. For
+    uniformly sparse refs, pass an explicit coarse ``res`` instead.
     """
     q_dims = [f"_q_{d}" for d in dims]
     r_dims = [f"_r_{d}" for d in dims]

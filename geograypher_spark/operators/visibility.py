@@ -217,6 +217,53 @@ def _render_group(pdf: pd.DataFrame, cam_params: dict, scale: float,
 # Candidate generation
 # ---------------------------------------------------------------------------
 
+def _footprint_bboxes(
+    c2w_flat: np.ndarray, f: np.ndarray, cx: np.ndarray, cy: np.ndarray,
+    w: np.ndarray, h: np.ndarray, z_min: float, z_max: float,
+) -> tuple[np.ndarray, np.ndarray, np.ndarray, np.ndarray, np.ndarray]:
+    """Batched corner-ray footprint: for n cameras at once, intersect the
+    4 image-corner rays with both z-planes and bbox the valid hits.
+    Returns (any_valid, xmin, ymin, xmax, ymax), each (n,). Same math as
+    ``cam.cast_rays`` (normalized dirs, scale-normalized rotation) — one
+    numpy pass instead of a per-camera iterrows loop."""
+    n = len(f)
+    c2w = np.asarray(c2w_flat, dtype=np.float64).reshape(n, 4, 4)
+    zeros = np.zeros(n)
+    px = np.stack([zeros, w, zeros, w], axis=1)           # (n, 4)
+    py = np.stack([zeros, zeros, h, h], axis=1)
+    dirs_cam = np.stack([
+        (px - cx[:, None] - w[:, None] / 2.0) / f[:, None],
+        (py - cy[:, None] - h[:, None] / 2.0) / f[:, None],
+        np.ones((n, 4)),
+    ], axis=2)                                            # (n, 4, 3)
+    dirs_cam /= np.linalg.norm(dirs_cam, axis=2, keepdims=True)
+    R = c2w[:, :3, :3]
+    scale = np.cbrt(np.abs(np.linalg.det(R)))
+    Rn = R / scale[:, None, None]
+    d = np.einsum("nij,nkj->nki", Rn, dirs_cam)           # (n, 4, 3)
+    o = c2w[:, :3, 3]                                     # (n, 3)
+    hx_parts, hy_parts, v_parts = [], [], []
+    for zp in (z_min, z_max):
+        dz = d[:, :, 2]
+        with np.errstate(divide="ignore", invalid="ignore"):
+            t = (zp - o[:, None, 2]) / np.where(dz == 0, np.nan, dz)
+        valid = np.isfinite(t) & (t > 0)
+        ts = np.nan_to_num(t, nan=0.0)
+        hx_parts.append(o[:, None, 0] + d[:, :, 0] * ts)
+        hy_parts.append(o[:, None, 1] + d[:, :, 1] * ts)
+        v_parts.append(valid)
+    HX = np.concatenate(hx_parts, axis=1)                 # (n, 8)
+    HY = np.concatenate(hy_parts, axis=1)
+    V = np.concatenate(v_parts, axis=1)
+    any_valid = V.any(axis=1)
+    with np.errstate(invalid="ignore"):
+        xmin = np.nanmin(np.where(V, HX, np.nan), axis=1)
+        xmax = np.nanmax(np.where(V, HX, np.nan), axis=1)
+        ymin = np.nanmin(np.where(V, HY, np.nan), axis=1)
+        ymax = np.nanmax(np.where(V, HY, np.nan), axis=1)
+    return any_valid, xmin, ymin, xmax, ymax
+
+
 def camera_footprint_cells(
     cameras: DataFrame, z_min: float, z_max: float,
     res: int, max_cells: int = 4096,
@@ -228,32 +275,24 @@ def camera_footprint_cells(
 
     def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
+            if len(pdf) == 0:
+                yield pd.DataFrame(
+                    {"cell": pd.Series([], dtype="int64"),
+                     **{c: pd.Series([], dtype=object) for c in cols}})
+                continue
+            ok, xmin, ymin, xmax, ymax = _footprint_bboxes(
+                np.stack(pdf["cam_to_world"].to_numpy()),
+                pdf["f"].to_numpy(np.float64),
+                pdf["cx"].to_numpy(np.float64), pdf["cy"].to_numpy(np.float64),
+                pdf["w"].to_numpy(np.float64), pdf["h"].to_numpy(np.float64),
+                z_min, z_max)
             outs = []
-            for _, row in pdf.iterrows():
-                c2w = np.asarray(row["cam_to_world"], dtype=np.float64).reshape(4, 4)
-                w, h = int(row["w"]), int(row["h"])
-                corners_x = np.array([0.0, w, 0.0, w])
-                corners_y = np.array([0.0, 0.0, h, h])
-                starts, ends = cam.cast_rays(
-                    corners_x, corners_y, c2w,
-                    float(row["f"]), float(row["cx"]), float(row["cy"]), w, h)
-                d = ends - starts
-                pts = []
-                for zp in (z_min, z_max):
-                    dz = d[:, 2]
-                    with np.errstate(divide="ignore", invalid="ignore"):
-                        t = (zp - starts[:, 2]) / np.where(dz == 0, np.nan, dz)
-                    hit = starts + d * np.nan_to_num(t, nan=0.0)[:, None]
-                    valid = np.isfinite(t) & (t > 0)
-                    if valid.any():
-                        pts.append(hit[valid][:, :2])
-                if not pts:
+            for i, (_, row) in enumerate(pdf.iterrows()):
+                if not ok[i]:
                     continue
-                xy = np.vstack(pts)
                 cc = C.covering_cells_np(
-                    float(xy[:, 0].min()), float(xy[:, 1].min()),
-                    float(xy[:, 0].max()), float(xy[:, 1].max()),
-                    res, max_cells=max_cells)
+                    float(xmin[i]), float(ymin[i]), float(xmax[i]),
+                    float(ymax[i]), res, max_cells=max_cells)
                 o = pd.DataFrame({"cell": cc})
                 for c in cols:
                     o[c] = [row[c]] * len(cc)
@@ -282,30 +321,21 @@ def camera_footprint_cells_driver(
     resolution the covering actually uses."""
     rows = cameras.collect()
     out = {"cell": [], **{c: [] for c in cameras.columns}}
-    for row in rows:
-        c2w = np.asarray(row["cam_to_world"], dtype=np.float64).reshape(4, 4)
-        w, h = int(row["w"]), int(row["h"])
-        corners_x = np.array([0.0, w, 0.0, w])
-        corners_y = np.array([0.0, 0.0, h, h])
-        starts, ends = cam.cast_rays(
-            corners_x, corners_y, c2w,
-            float(row["f"]), float(row["cx"]), float(row["cy"]), w, h)
-        d = ends - starts
-        pts = []
-        for zp in (z_min, z_max):
-            dz = d[:, 2]
-            with np.errstate(divide="ignore", invalid="ignore"):
-                t = (zp - starts[:, 2]) / np.where(dz == 0, np.nan, dz)
-            hit = starts + d * np.nan_to_num(t, nan=0.0)[:, None]
-            valid = np.isfinite(t) & (t > 0)
-            if valid.any():
-                pts.append(hit[valid][:, :2])
-        if not pts:
+    if rows:
+        ok, xmin, ymin, xmax, ymax = _footprint_bboxes(
+            np.stack([np.asarray(r["cam_to_world"], dtype=np.float64)
+                      for r in rows]),
+            np.array([float(r["f"]) for r in rows]),
+            np.array([float(r["cx"]) for r in rows]),
+            np.array([float(r["cy"]) for r in rows]),
+            np.array([float(r["w"]) for r in rows]),
+            np.array([float(r["h"]) for r in rows]),
+            z_min, z_max)
+    for i, row in enumerate(rows):
+        if not ok[i]:
             continue
-        xy = np.vstack(pts)
         cc = C.covering_cells_np(
-            float(xy[:, 0].min()), float(xy[:, 1].min()),
-            float(xy[:, 0].max()), float(xy[:, 1].max()),
+            float(xmin[i]), float(ymin[i]), float(xmax[i]), float(ymax[i]),
             res, max_cells=max_cells)
         for cell in cc:
             out["cell"].append(int(cell))

@@ -50,6 +50,44 @@ def test_knn_k3_ranks(spark):
         assert dd == sorted(dd)
 
 
+def test_knn_collinear_refs_exact(spark):
+    """All refs on a line: the old area-product auto_resolution collapsed
+    to max res and the ring expansion could never cover the spread
+    (round-2 VERDICT #8). The occupied-cell solve must pick a cell sized
+    to the 1D density, keeping results exact within max_expansions."""
+    rng = np.random.default_rng(11)
+    r = pd.DataFrame({"ref_id": np.arange(60, dtype=np.int64),
+                      "x": np.linspace(0, 90, 60), "y": np.full(60, 5.0)})
+    q = pd.DataFrame({"query_id": np.arange(120, dtype=np.int64),
+                      "x": rng.uniform(0, 90, 120), "y": rng.uniform(0, 10, 120)})
+    res = KNN.auto_resolution(
+        spark.createDataFrame(r), "x", "y", target_per_cell=4.0)
+    from geograypher_spark.functions import cells as C
+    # cell must be sized to the 1D spread (~90*4/60 = 6), not collapsed
+    assert C.cell_size(res) >= 1.0
+    got = KNN.knn_join(spark.createDataFrame(q), spark.createDataFrame(r), k=1).collect()
+    got_map = {row["query_id"]: row["ref_id"] for row in got}
+    d = np.linalg.norm(q[["x", "y"]].to_numpy()[:, None, :]
+                       - r[["x", "y"]].to_numpy()[None, :, :], axis=2)
+    expected = d.argmin(axis=1)
+    assert len(got_map) == 120
+    for qid in range(120):
+        assert got_map[qid] == expected[qid], f"query {qid}"
+
+
+def test_knn_single_point_refs(spark):
+    """Degenerate: every ref at one spot → res 0 (coarsest), still exact."""
+    r = pd.DataFrame({"ref_id": np.arange(3, dtype=np.int64),
+                      "x": np.full(3, 7.0), "y": np.full(3, -2.0)})
+    q = pd.DataFrame({"query_id": np.arange(5, dtype=np.int64),
+                      "x": np.linspace(0, 20, 5), "y": np.linspace(-5, 5, 5)})
+    assert KNN.auto_resolution(
+        spark.createDataFrame(r), "x", "y") == 0
+    got = KNN.knn_join(spark.createDataFrame(q), spark.createDataFrame(r), k=1).collect()
+    assert {row["query_id"] for row in got} == set(range(5))
+    assert all(row["ref_id"] == 0 for row in got)  # tie → lowest ref id
+
+
 def _rays_df(spark, starts, ends, camera_ids):
     pdf = pd.DataFrame({
         "ray_id": np.arange(len(starts), dtype=np.int64),
