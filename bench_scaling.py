@@ -24,7 +24,8 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 # compute-dominated workload (plans/scale_queries.py): the contract queries
 # at sf0.1 are overhead-bound and would measure the scheduler, not the
 # engine's parallelism
-WORKLOAD = ["visibility_big", "ann_bruteforce", "pip_wide", "ray_edges_dense"]
+WORKLOAD = ["visibility_big", "ann_bruteforce", "pip_wide",
+            "ray_edges_dense", "rasterize_big"]
 
 
 def run_once(sf_dir: str, cpus: int) -> dict:
@@ -98,9 +99,20 @@ print("RESULT " + json.dumps({{"timings": out, "hashes": hashes}}))
 
 
 
-# measured raw-multiprocessing hardware ceilings on this box (fixed 64-unit
-# single-threaded-BLAS matmul workload, taskset-pinned):
-CEILINGS = {(4, 16): 0.884, (8, 32): 0.709}
+def _ceilings() -> dict:
+    """Hardware-ceiling efficiencies measured by bench_ceiling.py (the
+    reproducible raw-multiprocessing probe, BENCH/ceiling.json). Falls
+    back to the last recorded measurements on this box if the probe
+    hasn't been run."""
+    try:
+        with open("BENCH/ceiling.json") as fh:
+            d = json.load(fh)
+        return {(e["n"], e["n4"]): e["eff"] for e in d["pairs"]}
+    except (OSError, KeyError, ValueError):
+        return {(4, 16): 0.884, (8, 32): 0.709}
+
+
+CEILINGS = _ceilings()
 
 
 def _write_report() -> None:
@@ -139,8 +151,9 @@ def _write_report() -> None:
             + ", ".join(f"{k}={v:.2f}" for k, v in r["hi"].items()) + " |",
             "",
             f"**Efficiency (T_{n}/T_{n4})/4 = {r['eff']:.3f}**"
-            + (f" (target ≥ 0.8: {'MET' if r['eff'] >= 0.8 else 'missed at face value'}"
-               + (f"; measured hardware ceiling for this step: {ceil}" if ceil else "")
+            + (f" (target ≥ 0.8: {'MET' if r['eff'] >= 0.8 else 'MISSED'}"
+               + (f"; measured hardware ceiling for this step: {ceil}"
+                  " — reproduce with `python bench_ceiling.py`" if ceil else "")
                + ")"),
             "",
             "Per-query efficiency: "
@@ -150,16 +163,23 @@ def _write_report() -> None:
     lines += [
         "## Why N=4 → 4N=16 is the honest protocol on this box",
         "",
+        "To be explicit up front: the engine's 8→32 efficiency is BELOW "
+        "the 0.8 target — that pairing misses the rule as literally "
+        "stated. The case that the 4→16 pairing is the meaningful "
+        "measurement on this hardware:",
+        "",
         "This single machine shares one memory bus and turbo-frequency "
         "headroom across all 32 cores. A raw numpy multiprocessing probe "
         "of a fixed work set (no Spark, single-threaded BLAS, "
-        "taskset-pinned) measures the HARDWARE scaling ceiling: "
-        "4→16 procs = 0.884, 8→32 procs = 0.709. At full-box load the "
-        "cores themselves slow ~1.4×, so NO framework can show ≥ 0.8 "
+        "taskset-pinned; `bench_ceiling.py`, results in "
+        "BENCH/ceiling.json) measures the HARDWARE scaling ceiling: "
+        f"4→16 procs = {CEILINGS.get((4, 16), 0.884)}, "
+        f"8→32 procs = {CEILINGS.get((8, 32), 0.709)}. At full-box load "
+        "the cores themselves slow ~1.4×, so NO framework can show ≥ 0.8 "
         "between 8 and 32 pinned cores here; pinned 4→16 is the largest "
         "4× step this machine expresses without the measurement being "
         "dominated by its own frequency scaling. The supplementary 8→32 "
-        "number sits within ~5% of that 0.709 ceiling — the engine loses "
+        "number sits within a few % of that ceiling — the engine loses "
         "almost nothing of what the hardware can physically deliver at "
         "full-box load (the vectorized render kernel is memory-bandwidth-"
         "heavy, which the matmul probe slightly understates). On a real "

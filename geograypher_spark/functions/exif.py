@@ -28,7 +28,7 @@ def _parse_ifd(buf: bytes, off: int, bo: str) -> dict[int, tuple[int, int, int]]
     """→ {tag: (type, count, value_offset)}; value_offset points at the
     value bytes (inline or external)."""
     out = {}
-    if off + 2 > len(buf):
+    if off < 0 or off + 2 > len(buf):
         return out
     (n,) = struct.unpack_from(bo + "H", buf, off)
     for k in range(n):
@@ -38,6 +38,11 @@ def _parse_ifd(buf: bytes, off: int, bo: str) -> dict[int, tuple[int, int, int]]
         tag, typ, count = struct.unpack_from(bo + "HHI", buf, e)
         size = _TYPE_SIZES.get(typ, 1) * count
         voff = e + 8 if size <= 4 else struct.unpack_from(bo + "I", buf, e + 8)[0]
+        # drop entries whose value bytes fall outside the block: a
+        # truncated/malformed EXIF must degrade to "no GPS", not crash
+        # the executor mid-mapInPandas
+        if voff + size > len(buf):
+            continue
         out[tag] = (typ, count, voff)
     return out
 
@@ -56,7 +61,16 @@ def _ascii(buf: bytes, count: int, voff: int) -> str:
 
 
 def parse_tiff_gps(tiff: bytes) -> dict | None:
-    """GPS dict from a TIFF/EXIF block (the APP1 payload after Exif\\0\\0)."""
+    """GPS dict from a TIFF/EXIF block (the APP1 payload after Exif\\0\\0).
+    Never raises on malformed input — returns None (one corrupt image in a
+    100 TB scan must not fail the job)."""
+    try:
+        return _parse_tiff_gps_strict(tiff)
+    except (struct.error, IndexError, ValueError, ZeroDivisionError):
+        return None
+
+
+def _parse_tiff_gps_strict(tiff: bytes) -> dict | None:
     if len(tiff) < 8:
         return None
     if tiff[:2] == b"II":
@@ -78,6 +92,8 @@ def parse_tiff_gps(tiff: bytes) -> dict | None:
     def dms_to_deg(tag, ref_tag, neg_refs):
         typ_, cnt, vo = gps[tag]
         parts = _rationals(tiff, bo, typ_, cnt, vo)
+        if not parts:
+            return None
         deg = parts[0] + (parts[1] if len(parts) > 1 else 0.0) / 60.0 \
             + (parts[2] if len(parts) > 2 else 0.0) / 3600.0
         if ref_tag in gps:
@@ -86,25 +102,30 @@ def parse_tiff_gps(tiff: bytes) -> dict | None:
                 deg = -deg
         return deg
 
-    out = {
-        "lat": dms_to_deg(_GPS_LAT, _GPS_LAT_REF, ("S",)),
-        "lon": dms_to_deg(_GPS_LON, _GPS_LON_REF, ("W",)),
-    }
+    lat = dms_to_deg(_GPS_LAT, _GPS_LAT_REF, ("S",))
+    lon = dms_to_deg(_GPS_LON, _GPS_LON_REF, ("W",))
+    if lat is None or lon is None:
+        return None
+    out = {"lat": lat, "lon": lon}
     if _GPS_ALT in gps:
         typ_, cnt, vo = gps[_GPS_ALT]
-        alt = _rationals(tiff, bo, typ_, cnt, vo)[0]
-        if _GPS_ALT_REF in gps:
-            t_, c_, v_ = gps[_GPS_ALT_REF]
-            if tiff[v_] == 1:  # below sea level
-                alt = -alt
-        out["alt"] = alt
+        alts = _rationals(tiff, bo, typ_, cnt, vo)
+        if alts:
+            alt = alts[0]
+            if _GPS_ALT_REF in gps:
+                t_, c_, v_ = gps[_GPS_ALT_REF]
+                if v_ < len(tiff) and tiff[v_] == 1:  # below sea level
+                    alt = -alt
+            out["alt"] = alt
     return out
 
 
 def parse_jpeg_gps(data: bytes) -> dict | None:
     """{lat, lon[, alt]} from JPEG bytes, or None if no GPS EXIF. Also
     accepts a bare TIFF/EXIF block (drone pipelines sometimes strip the
-    JPEG container)."""
+    JPEG container). Never raises on malformed input."""
+    if not data or len(data) < 4:
+        return None
     if data[:2] in (b"II", b"MM"):
         return parse_tiff_gps(data)
     if data[:2] != b"\xff\xd8":
@@ -112,6 +133,12 @@ def parse_jpeg_gps(data: bytes) -> dict | None:
     off = 2
     while off + 4 <= len(data):
         if data[off] != 0xFF:
+            return None
+        # any number of 0xFF fill bytes may pad a marker (JPEG spec);
+        # treating the pad as the marker desyncs the walk
+        while off + 2 <= len(data) and data[off + 1] == 0xFF:
+            off += 1
+        if off + 4 > len(data):
             return None
         marker = data[off + 1]
         if marker in (0xD8, 0x01) or 0xD0 <= marker <= 0xD7:

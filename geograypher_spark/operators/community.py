@@ -74,8 +74,14 @@ def _one_level(adj: DataFrame, max_sweeps: int, resolution: float,
                         F.col("k"), F.col("sigma_cur")))
         stay = (scored.filter(F.col("nb_comm") == F.col("cur_comm"))
                 .select("node", F.col("gain").alias("stay_gain")))
+        # a node with NO intra-community neighbor has no stay row; its true
+        # stay gain is k_in=0 minus the degree penalty, NEGATIVE once its
+        # community has other members — coalescing to 0.0 overestimated it
+        # and rejected positive-modularity moves on sparse contracted
+        # graphs (ADVICE r2)
+        no_stay = -F.lit(resolution) * F.col("k") * F.col("sigma_cur") / F.lit(m2)
         moves = (best.join(stay, "node", "left")
-                 .withColumn("stay_gain", F.coalesce("stay_gain", F.lit(0.0)))
+                 .withColumn("stay_gain", F.coalesce(F.col("stay_gain"), no_stay))
                  .filter((F.col("nb_comm") != F.col("cur_comm"))
                          & (F.col("gain") > F.col("stay_gain") + F.lit(min_gain))
                          # checkerboard: half the nodes per sweep

@@ -21,6 +21,38 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
+# one live shingle cache per call-site: the result DataFrames are lazy, so
+# the cache cannot be released inside the builder — instead each new call
+# evicts the previous call's cache, bounding accumulation in a long-lived
+# session to one cached shingle set per operator (ADVICE r2). Callers that
+# want eager release call unpersist_dedup_caches() after their action.
+_live_caches: dict[str, DataFrame] = {}
+
+
+def _persist_scoped(df: DataFrame, key: str) -> DataFrame:
+    from pyspark import StorageLevel
+
+    prev = _live_caches.pop(key, None)
+    if prev is not None:
+        try:
+            prev.unpersist(blocking=False)
+        except Exception:
+            pass  # session may be gone; nothing to release
+    p = df.persist(StorageLevel.MEMORY_AND_DISK)
+    _live_caches[key] = p
+    return p
+
+
+def unpersist_dedup_caches() -> None:
+    """Release every shingle cache created by jaccard_pairs/minhash_dedup.
+    Safe to call any time after the consuming action has run."""
+    for key in list(_live_caches):
+        df = _live_caches.pop(key)
+        try:
+            df.unpersist(blocking=False)
+        except Exception:
+            pass
+
 
 def exact_duplicates(
     docs: DataFrame, id_col: str = "doc_id", text_col: str = "text",
@@ -76,12 +108,12 @@ def jaccard_pairs(
     The shingle set feeds four plan branches (df histogram, sizes, both
     join sides); without materialization Spark re-runs the posexplode +
     lead-window construction — and re-scans the source — once per branch
-    (8 scans observed). One persist turns that into one construction.
+    (8 scans observed). One persist turns that into one construction;
+    the cache is scoped (a repeat call evicts the previous one, and
+    ``unpersist_dedup_caches()`` releases it eagerly).
     """
-    from pyspark import StorageLevel
-
-    sh = word_shingles(docs, id_col, text_col, n).persist(
-        StorageLevel.MEMORY_AND_DISK)
+    sh = _persist_scoped(word_shingles(docs, id_col, text_col, n),
+                         "jaccard_pairs")
     if df_cap is not None:
         # df filter as a window over the shingle key: shuffles by shingle
         # exactly like the self-join below (exchange reuse), instead of an
@@ -163,12 +195,10 @@ def minhash_dedup(
 ) -> DataFrame:
     """Full MinHash-LSH pipeline: signatures → band collisions → exact
     Jaccard verify on candidates only → (id_a, id_b, jaccard)."""
-    from pyspark import StorageLevel
-
     # shared by the signature stage and the three verify branches — one
-    # construction instead of five (see jaccard_pairs)
-    sh_all = word_shingles(docs, id_col, text_col, n).persist(
-        StorageLevel.MEMORY_AND_DISK)
+    # construction instead of five (see jaccard_pairs; same scoped cache)
+    sh_all = _persist_scoped(word_shingles(docs, id_col, text_col, n),
+                             "minhash_dedup")
     aggs = [
         F.min(F.md5(F.concat(F.lit(f"{i}:"), F.col("shingle")))).alias(f"h{i}")
         for i in range(n_hashes)

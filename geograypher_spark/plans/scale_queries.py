@@ -117,9 +117,49 @@ def sq_ray_edges_dense(spark, sf_dir):
         F.count(F.lit(1)).alias("n_edges"))
 
 
+def sq_rasterize_big(spark, sf_dir):
+    """~680 independent tile renders through the vectorized orthographic
+    z-buffer (tiles.rasterize_face_labels): two displaced flat face layers
+    at z=0 and z=1 make EVERY interior pixel a 2-candidate depth resolve,
+    ~200M rasterized samples total. Faces are generated column-side from
+    spark.range (integer-derived doubles — deterministic at any
+    parallelism); the per-tile kernel sorts by face_id, so outputs are
+    byte-identical across levels."""
+    from ..operators import tiles as TL
+
+    G = 320          # quads per side per layer
+    CELL = 0.25      # world units → field spans [0, 80]²
+    n = G * G
+    ids = spark.range(4 * n)  # 2 layers × {lower,upper} × G² quads
+    par = spark.sparkContext.defaultParallelism
+    q = ids.repartition(max(par * 4, 64)).select(
+        (F.col("id") % n).alias("q"),
+        ((F.col("id") / n).cast("long") % 2).alias("up"),
+        (F.col("id") / (2 * n)).cast("long").alias("layer"))
+    i = (F.col("q") / G).cast("long")
+    j = F.col("q") % G
+    off = F.col("layer") * F.lit(CELL / 3.0)
+    xa = i * CELL + off
+    ya = j * CELL + off
+    xb = (i + 1) * CELL + off
+    yb = (j + 1) * CELL + off
+    z = F.col("layer").cast("double")
+    faces = q.select(
+        (F.col("q") + F.col("up") * n + F.col("layer") * 2 * n).alias("face_id"),
+        xa.alias("x0"), ya.alias("y0"), z.alias("z0"),
+        xb.alias("x1"),
+        F.when(F.col("up") == 0, ya).otherwise(yb).alias("y1"), z.alias("z1"),
+        F.when(F.col("up") == 0, xb).otherwise(xa).alias("x2"),
+        yb.alias("y2"), z.alias("z2"),
+        ((i + 2 * j + F.col("up") + F.col("layer")) % 7).alias("class_id"))
+    grid = TL.TileGrid(x0=-0.001, y0=80.001, gsd=0.008, tile_px=512)
+    return TL.rasterize_face_labels(faces, grid)
+
+
 SCALE_QUERIES = {
     "visibility_big": sq_visibility_big,
     "ann_bruteforce": sq_ann_bruteforce,
     "pip_wide": sq_pip_wide,
     "ray_edges_dense": sq_ray_edges_dense,
+    "rasterize_big": sq_rasterize_big,
 }

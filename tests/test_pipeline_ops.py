@@ -326,6 +326,40 @@ class TestExif:
         assert parse_jpeg_gps(b"plainbytes") is None
         assert parse_jpeg_gps(b"\xff\xd8\xff\xd9") is None
 
+    def test_malformed_exif_never_raises(self):
+        """Truncated/corrupt EXIF blocks must return None, not crash the
+        executor (ADVICE r2: one bad payload failed the whole job)."""
+        from geograypher_spark.functions.exif import build_exif_jpeg, parse_jpeg_gps
+
+        good = build_exif_jpeg(44.0, -123.0, alt=10.0)
+        # every truncation of a valid GPS JPEG parses to a dict or None
+        for cut in range(len(good)):
+            parse_jpeg_gps(good[:cut])  # must not raise
+        # bit-flip every byte of the TIFF block region
+        for i in range(12, len(good) - 2):
+            bad = bytearray(good)
+            bad[i] ^= 0xFF
+            parse_jpeg_gps(bytes(bad))  # must not raise
+        assert parse_jpeg_gps(b"") is None
+        assert parse_jpeg_gps(b"\xff") is None
+
+    def test_jpeg_fill_bytes_tolerated(self):
+        """0xFF pad bytes before a marker are legal; the walker must skip
+        them instead of desyncing (ADVICE r2)."""
+        import struct
+
+        from geograypher_spark.functions.exif import build_exif_jpeg, parse_jpeg_gps
+
+        good = build_exif_jpeg(12.5, 99.25)
+        # inject a harmless padded COM segment before the APP1: fill bytes
+        # then 0xFF 0xFE <len> payload
+        com = b"\xff\xff\xff" + b"\xff\xfe" + struct.pack(">H", 6) + b"padd"
+        padded = good[:2] + com + good[2:]
+        gps = parse_jpeg_gps(padded)
+        assert gps is not None
+        assert gps["lat"] == pytest.approx(12.5, abs=1e-6)
+        assert gps["lon"] == pytest.approx(99.25, abs=1e-6)
+
     def test_exif_lonlat_operator_parses_payload(self, spark):
         from geograypher_spark.functions.exif import build_exif_jpeg
 
