@@ -247,6 +247,84 @@ def cosine_topk_lsh(
     )
 
 
+def embedding_near_duplicates(
+    embeddings: DataFrame, id_col: str = "vec_id", vec_col: str = "embedding",
+    threshold: float = 0.95, n_planes: int | None = None, bands: int = 8,
+    scale: int = 1000, target_bucket: int = 64, n_vectors: int | None = None,
+) -> DataFrame:
+    """→ (id_a, id_b, sim) with id_a < id_b: embedding-cosine NEAR-DUP
+    pairs — the embedding tier of the dedup suite (alongside exact /
+    Jaccard / MinHash-LSH / SimHash).
+
+    Candidates = hyperplane-LSH band collisions (identical auto-sized
+    banding to ``cosine_topk_lsh``); the exact quantized cosine filters
+    inside each bucket, and each pair is attributed to its FIRST matching
+    band, so pairs are emitted exactly once with no dedup shuffle. Output
+    size is bounded by the true near-duplicate density (pairs ≥ threshold
+    within a bucket), never N². As with all LSH dedup, a pair colliding in
+    no band is missed by design — recall tunes with ``bands``."""
+    if n_planes is None:
+        if n_vectors is None:
+            n_vectors = embeddings.count()
+        rows = max(1, int(np.ceil(np.log2(max(n_vectors, 2) / target_bucket))))
+        n_planes = rows * bands
+    elif n_planes % bands:
+        raise ValueError(f"n_planes={n_planes} not divisible by bands={bands}")
+    bv_udf = band_values_udf(n_planes, bands)
+    par = embeddings.sparkSession.sparkContext.defaultParallelism
+    base = embeddings.repartition(max(par * 2, 8)).select(
+        F.col(id_col).alias("vec_id"),
+        quantized(F.col(vec_col), scale).alias("qv"),
+        bv_udf(F.col(vec_col)).alias("bv"))
+    stacked = base.select(
+        "vec_id", "qv", "bv",
+        F.posexplode("bv").alias("band_idx", "band_val"))
+
+    from pyspark.sql import types as T
+
+    id_type = embeddings.schema[id_col].dataType
+    out_schema = T.StructType([
+        T.StructField("id_a", id_type),
+        T.StructField("id_b", id_type),
+        T.StructField("sim", T.DoubleType()),
+    ])
+    thr = float(threshold)
+
+    def bucket_pairs(key: tuple, pdf: pd.DataFrame) -> pd.DataFrame:
+        band_idx = int(key[0])
+        m = len(pdf)
+        empty = pd.DataFrame({"id_a": pd.Series([], dtype=object),
+                              "id_b": pd.Series([], dtype=object),
+                              "sim": pd.Series([], dtype="float64")})
+        if m < 2:
+            return empty
+        Q = np.stack(pdf["qv"].to_numpy()).astype(np.float64)  # ints, exact
+        n2 = (Q * Q).sum(axis=1)
+        ids = pdf["vec_id"].to_numpy()
+        B = np.stack(pdf["bv"].to_numpy()) if band_idx > 0 else None
+        outs = []
+        chunk = max(1, min(m, 2_000_000 // max(m, 1) + 1, 4096))
+        for lo in range(0, m, chunk):
+            hi = min(lo + chunk, m)
+            sims = (Q[lo:hi] @ Q.T) / np.sqrt(np.outer(n2[lo:hi], n2))
+            ok = ids[lo:hi, None] < ids[None, :]
+            ok &= sims >= thr
+            if band_idx > 0:
+                earlier = (
+                    B[lo:hi, None, :band_idx] == B[None, :, :band_idx]
+                ).any(axis=-1)
+                ok &= ~earlier
+            ri, ci = np.nonzero(ok)
+            if len(ri):
+                outs.append(pd.DataFrame({
+                    "id_a": ids[lo:hi][ri], "id_b": ids[ci],
+                    "sim": sims[ri, ci]}))
+        return pd.concat(outs) if outs else empty
+
+    return stacked.groupBy("band_idx", "band_val").applyInPandas(
+        bucket_pairs, schema=out_schema)
+
+
 def cosine_topk_ivf(
     embeddings: DataFrame, id_col: str = "vec_id", vec_col: str = "embedding",
     k: int = 5, n_lists: int | None = None, n_probe: int = 4,

@@ -870,6 +870,80 @@ FROM ranked WHERE rank <= 3
 """
 
 
+_NEARDUP_THRESHOLD = 0.93
+_NEARDUP_SHIFT = 0.05
+
+
+def q_dedup_embedding(spark, sf_dir):
+    """Embedding-cosine near-dup dedup tier: the corpus is augmented with
+    deterministic near-copies (every 5th vector shifted by +0.05 per
+    element — unit-normalized embeddings land at cosine ≈ 0.92–0.95, so
+    threshold 0.93 genuinely discriminates), then
+    ``embedding_near_duplicates`` finds pairs via LSH-band candidates +
+    exact quantized cosine. Same fixed 16-plane/4-band config as the ANN
+    query so the oracle reproduces the bucketing with SQL-literal planes;
+    sim is exact in both engines (integer dots < 2^53, one rounded sqrt +
+    divide)."""
+    emb = _t(spark, sf_dir, "embeddings")
+    as_double = F.transform("embedding", lambda x: x.cast("double"))
+    shifted = F.transform(
+        "embedding", lambda x: x.cast("double") + F.lit(_NEARDUP_SHIFT))
+    aug = (emb.select("vec_id", as_double.alias("embedding"))
+           .unionByName(emb.filter(F.col("vec_id") % 5 == 0).select(
+               (F.col("vec_id") + 100000).alias("vec_id"),
+               shifted.alias("embedding"))))
+    return SIM.embedding_near_duplicates(
+        aug, threshold=_NEARDUP_THRESHOLD,
+        n_planes=_ANN_N_PLANES, bands=_ANN_BANDS)
+
+
+def _dedup_embedding_oracle_sql() -> str:
+    """The full near-dup pipeline in SQL: augmented corpus → integer plane
+    dots → band values → bucket self-join → exact quantized cosine ≥
+    threshold (mirrors _ann_lsh_oracle_sql; DISTINCT replaces the
+    engine's first-matching-band dedup)."""
+    planes = SIM.lsh_planes(_ANN_DIM, _ANN_N_PLANES)
+    rows = _ANN_N_PLANES // _ANN_BANDS
+    dot_cols = ", ".join(
+        "list_dot_product(qv, ["
+        + ", ".join(str(int(planes[d, j])) for d in range(_ANN_DIM))
+        + f"]) AS d{j}"
+        for j in range(_ANN_N_PLANES))
+    band_cols = ", ".join(
+        "(" + " + ".join(
+            f"CASE WHEN d{b * rows + i} > 0 THEN {1 << i} ELSE 0 END"
+            for i in range(rows)) + f") AS band{b}"
+        for b in range(_ANN_BANDS))
+    banded = " UNION ALL ".join(
+        f"SELECT vec_id, qv, {b} AS band_idx, band{b} AS band_val FROM bands"
+        for b in range(_ANN_BANDS))
+    return f"""
+WITH q0 AS (SELECT vec_id,
+              list_transform(embedding, x -> CAST(x AS DOUBLE)) AS emb
+            FROM embeddings),
+aug AS (SELECT vec_id, emb FROM q0
+        UNION ALL
+        SELECT vec_id + 100000,
+               list_transform(emb, x -> x + {_NEARDUP_SHIFT})
+        FROM q0 WHERE vec_id % 5 = 0),
+q AS (SELECT vec_id, list_transform(emb, x -> round(x * 1000)) AS qv
+      FROM aug),
+dots AS (SELECT vec_id, qv, {dot_cols} FROM q),
+bands AS (SELECT vec_id, qv, {band_cols} FROM dots),
+banded AS ({banded}),
+pairs AS (SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
+          FROM banded a JOIN banded b USING (band_idx, band_val)
+          WHERE a.vec_id < b.vec_id),
+sims AS (SELECT p.id_a, p.id_b,
+           list_dot_product(qa.qv, qb.qv)
+             / sqrt(list_dot_product(qa.qv, qa.qv)
+                    * list_dot_product(qb.qv, qb.qv)) AS sim
+         FROM pairs p JOIN q qa ON qa.vec_id = p.id_a
+                      JOIN q qb ON qb.vec_id = p.id_b)
+SELECT id_a, id_b, sim FROM sims WHERE sim >= {_NEARDUP_THRESHOLD}
+"""
+
+
 def q_dtm_sample(spark, sf_dir):
     """S5 bilinear DTM sampling with an EXACT closed-form oracle: the DTM
     is the linear field z(xc, yc) = xc + 2*yc at pixel centers (float32
@@ -1075,6 +1149,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "simhash": q_simhash,
     "ann_lsh": q_ann_lsh,
     "ann_ivf": q_ann_ivf,
+    "dedup_embedding": q_dedup_embedding,
     "dtm_sample": q_dtm_sample,
     "rasterize_scene": q_rasterize_scene,
     "multimodal_features": q_multimodal_features,
@@ -1113,6 +1188,7 @@ ORACLES: dict[str, str] = {
     "simhash": _simhash_oracle_sql(),
     "ann_lsh": _ann_lsh_oracle_sql(),
     "ann_ivf": SQL_ANN_IVF,
+    "dedup_embedding": _dedup_embedding_oracle_sql(),
     "dtm_sample": SQL_DTM_SAMPLE,
     "rasterize_scene": None,
     "forward_pipeline": None,

@@ -380,6 +380,40 @@ class TestExif:
         assert got["b.jpg"] == (-120.5, 40.25)
 
 
+class TestEmbeddingNearDup:
+    def test_finds_planted_neardups_exactly_once(self, spark):
+        """Planted near-copies must surface as pairs exactly once (first-
+        matching-band dedup), with sims matching the exact quantized
+        cosine; far pairs must not appear."""
+        import pandas as pd
+
+        from geograypher_spark.operators.similarity import (
+            embedding_near_duplicates)
+
+        rng = np.random.default_rng(21)
+        base = rng.normal(size=(60, 32))
+        base /= np.linalg.norm(base, axis=1, keepdims=True)
+        near = base[:20] + 0.02  # high-cosine copies of the first 20
+        V = np.vstack([base, near])
+        pdf = pd.DataFrame({
+            "vec_id": np.arange(len(V), dtype=np.int64),
+            "embedding": list(V.astype(np.float64))})
+        got = embedding_near_duplicates(
+            spark.createDataFrame(pdf), threshold=0.98,
+            n_planes=16, bands=8).collect()
+        pairs = {(r["id_a"], r["id_b"]) for r in got}
+        assert len(pairs) == len(got), "pair emitted more than once"
+        # every planted pair that shares >=1 LSH band must be found;
+        # with 8 bands of 2 bits recall on 0.999-cosine pairs is ~certain
+        expected = {(i, 60 + i) for i in range(20)}
+        assert expected <= pairs
+        # no spurious far pairs: everything found really is >= threshold
+        Q = np.round(V * 1000.0)
+        for a, b in pairs:
+            sim = (Q[a] @ Q[b]) / np.sqrt((Q[a] @ Q[a]) * (Q[b] @ Q[b]))
+            assert sim >= 0.98
+
+
 class TestIvf:
     def test_ivf_recall_on_clusters(self, spark):
         rng = np.random.default_rng(13)
