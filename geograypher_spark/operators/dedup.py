@@ -35,6 +35,11 @@ def _persist_scoped(df: DataFrame, key: str) -> DataFrame:
     prev = _live_caches.pop(key, None)
     if prev is not None:
         try:
+            if prev.sameSemantics(df):
+                # same input + params → the existing cache IS this plan's
+                # cache (Spark cache lookup is plan-keyed); keep it warm
+                _live_caches[key] = prev
+                return prev
             prev.unpersist(blocking=False)
         except Exception:
             pass  # session may be gone; nothing to release
