@@ -325,6 +325,42 @@ SELECT a AS node, min(b) AS component FROM reach GROUP BY a
 """
 
 
+_LOUVAIN_CLIQUES = 8
+_LOUVAIN_SIZE = 5
+
+
+def q_louvain(spark, sf_dir):
+    """A12 (Louvain modularity communities), the distributed path, on a
+    deterministic ring-of-cliques: 8 cliques of 5 (unit weights) joined by
+    0.1-weight ring bridges. Modularity's optimum is the clique partition
+    (the configuration is far from the resolution-limit merge regime), the
+    engine's sweeps are seed-free with deterministic tie-breaks, and the
+    canonical community id is the min member — so the expected output is
+    closed-form: node -> 5*(node//5)."""
+    from ..operators.community import louvain_distributed
+
+    K, M = _LOUVAIN_CLIQUES, _LOUVAIN_SIZE
+    cl = spark.range(K)
+    pair_rows = [(i, j) for i in range(M) for j in range(M) if i < j]
+    pair_df = spark.createDataFrame(pair_rows, "pi long, pj long")
+    intra = cl.crossJoin(pair_df).select(
+        (F.col("id") * M + F.col("pi")).alias("src"),
+        (F.col("id") * M + F.col("pj")).alias("dst"),
+        F.lit(1.0).alias("weight"))
+    bridges = cl.select(
+        (F.col("id") * M + (M - 1)).alias("src"),
+        (((F.col("id") + 1) % K) * M).alias("dst"),
+        F.lit(0.1).alias("weight"))
+    return louvain_distributed(intra.unionByName(bridges))
+
+
+SQL_LOUVAIN = f"""
+SELECT g.generate_series AS node,
+       {_LOUVAIN_SIZE} * (g.generate_series // {_LOUVAIN_SIZE}) AS community
+FROM generate_series(0, {_LOUVAIN_CLIQUES * _LOUVAIN_SIZE - 1}) g
+"""
+
+
 def q_tile_argmax(spark, sf_dir):
     """Tile assignment + per-tile weighted class argmax (A10 semantics —
     the headline raster-vector aggregation)."""
@@ -1130,6 +1166,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "knn": q_knn,
     "proximity_edges": q_proximity_edges,
     "connected_components": q_connected_components,
+    "louvain": q_louvain,
     "tile_argmax": q_tile_argmax,
     "zonal_stats": q_zonal_stats,
     "doc_roundtrip": q_doc_roundtrip,
@@ -1168,6 +1205,7 @@ ORACLES: dict[str, str] = {
     "knn": SQL_KNN,
     "proximity_edges": SQL_PROXIMITY_EDGES,
     "connected_components": SQL_CONNECTED_COMPONENTS,
+    "louvain": SQL_LOUVAIN,
     "tile_argmax": SQL_TILE_ARGMAX,
     "zonal_stats": SQL_ZONAL_STATS,
     "doc_roundtrip": SQL_DOC_ROUNDTRIP,

@@ -102,9 +102,9 @@ def test_every_query_has_runnable_callable(contract, spark):
     "visibility_zbuffer", "face_class_union", "triangulate", "simhash",
     "ann_lsh", "ann_ivf", "dtm_sample", "rasterize_scene", "multimodal_features",
     "forward_pipeline",
-    # round-3: reverse pipeline (render_labels_pipeline end-to-end) and
-    # the embedding-cosine near-dup dedup tier
-    "render_labels", "dedup_embedding",
+    # round-3: reverse pipeline (render_labels_pipeline end-to-end), the
+    # embedding-cosine near-dup dedup tier, distributed Louvain
+    "render_labels", "dedup_embedding", "louvain",
 ])
 def test_query_matches_oracle(contract, spark, duck, name):
     q = contract.queries()[name]
