@@ -130,36 +130,50 @@ def rasterize_zbuffer(
         off = np.arange(side)
         for lo in range(0, len(members), chunk):
             i = members[lo:lo + chunk]           # (m,)
-            m = len(i)
             rx = xmin[i][:, None, None] + off[None, None, :]   # (m,1,side)
             ry = ymin[i][:, None, None] + off[None, :, None]   # (m,side,1)
             inbox = (rx <= xmax[i][:, None, None]) & (ry <= ymax[i][:, None, None])
-            gx = rx + 0.5
-            gy = ry + 0.5
-            l0 = ((y1[i] - y2[i])[:, None, None] * (gx - x2[i][:, None, None])
-                  + (x2[i] - x1[i])[:, None, None] * (gy - y2[i][:, None, None])
-                  ) / dd[i][:, None, None]
-            l1 = ((y2[i] - y0[i])[:, None, None] * (gx - x2[i][:, None, None])
-                  + (x0[i] - x2[i])[:, None, None] * (gy - y2[i][:, None, None])
-                  ) / dd[i][:, None, None]
-            l2 = 1.0 - l0 - l1
-            inside = (l0 >= 0) & (l1 >= 0) & (l2 >= 0) & inbox
-            if not inside.any():
-                continue
-            if ortho:
-                depth = (l0 * Z[i, 0][:, None, None]
-                         + l1 * Z[i, 1][:, None, None]
-                         + l2 * Z[i, 2][:, None, None])
-            else:
-                inv_z = (l0 / Z[i, 0][:, None, None]
-                         + l1 / Z[i, 1][:, None, None]
-                         + l2 / Z[i, 2][:, None, None])
-                with np.errstate(divide="ignore"):
-                    depth = 1.0 / inv_z
+            # barycentric numerators factor into a column-only and a
+            # row-only term — compute them SMALL ((m,1,side)/(m,side,1))
+            # and materialize only the broadcast sum. Together with
+            # in-place ops and hit-gathered depth this holds full-size
+            # traffic to 3 float + 2 bool arrays per chunk (the naive
+            # expression tree made ~12 and saturated the memory bus at
+            # high render concurrency). Arithmetic order is unchanged →
+            # bit-identical output.
+            gxd = (rx + 0.5) - x2[i][:, None, None]            # (m,1,side)
+            gyd = (ry + 0.5) - y2[i][:, None, None]            # (m,side,1)
+            ddi = dd[i][:, None, None]
+            l0 = np.add((y1[i] - y2[i])[:, None, None] * gxd,
+                        (x2[i] - x1[i])[:, None, None] * gyd)  # full
+            l0 /= ddi
+            l1 = np.add((y2[i] - y0[i])[:, None, None] * gxd,
+                        (x0[i] - x2[i])[:, None, None] * gyd)  # full
+            l1 /= ddi
+            l2 = np.subtract(1.0, l0)                          # full
+            l2 -= l1
+            inside = l0 >= 0                                   # full bool
+            inside &= l1 >= 0
+            inside &= l2 >= 0
+            inside &= inbox
             fi, rr, cc = np.nonzero(inside)
+            if len(fi) == 0:
+                continue
+            # depth only at hit samples (~half the box): same scalar ops
+            # on the same values as the full-array form
+            l0h = l0[fi, rr, cc]
+            l1h = l1[fi, rr, cc]
+            l2h = l2[fi, rr, cc]
+            ii = i[fi]
+            if ortho:
+                dep = l0h * Z[ii, 0] + l1h * Z[ii, 1] + l2h * Z[ii, 2]
+            else:
+                inv_z = l0h / Z[ii, 0] + l1h / Z[ii, 1] + l2h / Z[ii, 2]
+                with np.errstate(divide="ignore"):
+                    dep = 1.0 / inv_z
             pix_parts.append((ry[fi, rr, 0] * w + rx[fi, 0, cc]).astype(np.int64))
-            dep_parts.append(depth[fi, rr, cc])
-            fid_parts.append(FID[i][fi])
+            dep_parts.append(dep)
+            fid_parts.append(FID[ii])
     if not pix_parts:
         return _out()
     # two linear scatter passes instead of a global lexsort (n log n with
