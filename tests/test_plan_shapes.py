@@ -58,6 +58,31 @@ def test_proximity_kernel_stays_staged(spark, queries):
     assert plan.count("Project") >= 3
 
 
+def test_rasterize_single_shuffle(spark, queries):
+    """rasterize_face_labels must be one explode → one tile-keyed shuffle
+    → one applyInPandas render: a second exchange would re-shuffle the
+    wide face rows (9 coord doubles each) for nothing at 100 TB."""
+    plan = _plan(queries["rasterize_scene"](spark, SF_DIR))
+    n_exchange = len(re.findall(r"Exchange hashpartitioning", plan))
+    assert n_exchange == 1, f"expected 1 shuffle, saw {n_exchange}:\n{plan[:2000]}"
+    assert "CartesianProduct" not in plan
+
+
+def test_render_labels_plan_sane(spark, queries):
+    """The reverse pipeline must stay cartesian-free, and its class
+    gather must happen inside the camera render groups — i.e. no second
+    camera-keyed exchange after the render. (The face→class join shows as
+    a broadcast at this fixture scale — a size-based choice that reverts
+    to a shuffle join automatically once the faces side exceeds the
+    broadcast threshold; don't assert the join strategy here.)"""
+    plan = _plan(queries["render_labels"](spark, SF_DIR))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    n_cam_exchanges = len(re.findall(
+        r"Exchange hashpartitioning\(camera_id", plan))
+    assert n_cam_exchanges == 1, plan[:2000]
+
+
 def test_jaccard_single_shingle_construction(spark, queries):
     """The persisted shingle set must appear as InMemoryTableScan branches,
     not as repeated scan+construction subplans (round-2 fix: 8 scans)."""
