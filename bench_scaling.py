@@ -115,6 +115,17 @@ def _ceilings() -> dict:
 CEILINGS = _ceilings()
 
 
+def _capture_summary(runs: list) -> str:
+    parts = []
+    for r in runs:
+        ceil = CEILINGS.get((r["n"], r["n4"]))
+        if ceil:
+            parts.append(
+                f"{r['eff']:.3f}/{ceil} ≈ {r['eff'] / ceil:.0%} "
+                f"at {r['n']}→{r['n4']}")
+    return (": " + ", ".join(parts)) if parts else ""
+
+
 def _write_report() -> None:
     import glob
 
@@ -143,12 +154,13 @@ def _write_report() -> None:
         "per-run values land in BENCH/scaling_*.json history via git). "
         "Engine and ceiling use the same estimator, so their ratio — the "
         "fraction of physically-available scaling the engine captures — "
-        "is the host-independent signal: 0.851/0.87 ≈ 98% at 4→16, "
-        "0.635/0.675 ≈ 94% at 8→32. Known weak point: rasterize_big at "
-        "8→32 (0.27) — the ortho tile rasterizer is memory-bandwidth-"
-        "bound and saturates the shared bus at 32 concurrent renders "
-        "(its 4→16 is 0.61 after the per-core cache retune; on separate "
-        "machines each executor has its own bus).",
+        "is the host-independent signal"
+        + _capture_summary(runs)
+        + ". Known weak point: the render kernels (rasterize_big, "
+        "visibility_big) are memory-bandwidth-bound and saturate the "
+        "shared bus at 32 concurrent renders even after the per-core "
+        "cache retune and the 3-array chunk rewrite; on separate "
+        "machines each executor has its own bus.",
         "",
     ]
     for i, r in enumerate(runs):
