@@ -68,16 +68,24 @@ def rasterize_zbuffer(
 
     FULLY VECTORIZED: faces are bucketed by power-of-two bbox size class,
     each bucket evaluates its barycentrics for all faces at once (chunked
-    so a bucket never allocates more than ~2M candidate samples), and the
-    z-buffer resolves globally with one lexsort — winner per pixel =
-    min (depth, face_id), which is EXACTLY what the sequential
-    face_id-ordered strict-< loop computed (a 20k-small-triangle render
-    was ~80 µs/face of Python loop overhead; this is ~30× faster and
-    bit-identical)."""
-    img_face = np.full((h, w), -1, dtype=np.int64)
+    to stay cache-resident), and each chunk resolves STREAMING into the
+    global z-buffer: a chunk-local lexsort picks the chunk winner per
+    pixel, then one gather/compare/scatter merges it lexicographically.
+    Winner per pixel = min (depth, face_id), which is EXACTLY what the
+    sequential face_id-ordered strict-< loop computed (a
+    20k-small-triangle render was ~80 µs/face of Python loop overhead;
+    this is ~30× faster and bit-identical). Hits are never accumulated
+    across chunks, so resolve memory traffic is one gather + one scatter
+    per unique (chunk, pixel) instead of a stored-and-twice-re-read
+    per-render hit log."""
+    # img_face doubles as the fid min-buffer during the streaming resolve
+    # (sentinel = int64 max, so any real face id wins a tie-compare);
+    # _out() rewrites never-hit pixels to the public -1 sentinel.
+    img_face = np.full((h, w), np.iinfo(np.int64).max, dtype=np.int64)
     img_depth = np.full((h, w), np.inf, dtype=np.float64)
 
     def _out():
+        img_face[~np.isfinite(img_depth)] = -1
         return (img_face, img_depth) if return_depth else img_face
 
     n = len(face_ids)
@@ -116,9 +124,14 @@ def rasterize_zbuffer(
     size_cls = np.maximum(
         np.ceil(np.log2(bw[idx_all])), np.ceil(np.log2(bh[idx_all]))
     ).astype(np.int64)
-    pix_parts: list[np.ndarray] = []
-    dep_parts: list[np.ndarray] = []
-    fid_parts: list[np.ndarray] = []
+    # streaming resolve state: flat views of the two global buffers. Each
+    # chunk merges its hits immediately (see below) instead of appending
+    # them to per-render part lists — the old accumulate-then-two-pass
+    # resolve wrote every hit (pix, dep, fid = 24 B) to memory once and
+    # re-read it twice through np.minimum.at, which is what saturated the
+    # shared bus on 100M-px renders.
+    depth_flat = img_depth.ravel()
+    fid_flat = img_face.ravel()
     for cls in np.unique(size_cls):
         members = idx_all[size_cls == cls]
         side = 1 << int(cls)
@@ -171,24 +184,31 @@ def rasterize_zbuffer(
                 inv_z = l0h / Z[ii, 0] + l1h / Z[ii, 1] + l2h / Z[ii, 2]
                 with np.errstate(divide="ignore"):
                     dep = 1.0 / inv_z
-            pix_parts.append((ry[fi, rr, 0] * w + rx[fi, 0, cc]).astype(np.int64))
-            dep_parts.append(dep)
-            fid_parts.append(FID[ii])
-    if not pix_parts:
-        return _out()
-    # two linear scatter passes instead of a global lexsort (n log n with
-    # random access): pass 1 takes the min depth per pixel, pass 2 the min
-    # face id among exact-min-depth samples — identical semantics to the
-    # sequential face_id-ordered strict-< loop (winner = min(depth, fid)).
-    depth_flat = img_depth.ravel()
-    for pix, dep in zip(pix_parts, dep_parts):
-        np.minimum.at(depth_flat, pix, dep)
-    fid_flat = np.full(h * w, np.iinfo(np.int64).max, dtype=np.int64)
-    for pix, dep, fid in zip(pix_parts, dep_parts, fid_parts):
-        win = dep == depth_flat[pix]
-        np.minimum.at(fid_flat, pix[win], fid[win])
-    hit = np.isfinite(depth_flat)
-    img_face.flat[hit] = fid_flat[hit]
+            pix = (ry[fi, rr, 0] * w + rx[fi, 0, cc]).astype(np.int64)
+            fid = FID[ii]
+            # streaming per-chunk resolve. Winner per pixel is the
+            # lexicographic min of (depth, face_id) — min is associative,
+            # so (a) reduce the chunk locally, (b) merge the chunk winner
+            # against the global buffers. Identical semantics to the old
+            # two-global-pass resolve (and to the sequential
+            # face_id-ordered strict-< loop), but the hit arrays are never
+            # stored or re-read, and the slow np.minimum.at ufunc loop is
+            # replaced by a cache-resident lexsort (≤ _CHUNK_SAMPLES rows)
+            # plus one vectorized gather/compare/scatter.
+            order = np.lexsort((fid, dep, pix))
+            pix_s = pix[order]
+            keep = np.empty(len(pix_s), dtype=bool)
+            keep[0] = True
+            np.not_equal(pix_s[1:], pix_s[:-1], out=keep[1:])
+            pu = pix_s[keep]
+            du = dep[order][keep]
+            fu = fid[order][keep]
+            cur_d = depth_flat[pu]
+            win = du < cur_d
+            win |= (du == cur_d) & (fu < fid_flat[pu])
+            pw = pu[win]
+            depth_flat[pw] = du[win]
+            fid_flat[pw] = fu[win]
     return _out()
 
 

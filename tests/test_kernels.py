@@ -243,3 +243,67 @@ class TestTriangleAreas:
         assert a2[0] == pytest.approx(0.5)
         assert a3[0] == pytest.approx(np.sqrt(2) / 2)
         assert a3[0] > a2[0]  # slope ratio > 1
+
+
+class TestRasterizeZbufferStreaming:
+    """Fuzz the streaming-resolve z-buffer against a per-face sequential
+    strict-< renderer (the reference semantics: faces in face_id order,
+    nearer-depth wins, first face wins exact depth ties ==
+    lexicographic min of (depth, face_id))."""
+
+    @staticmethod
+    def _reference(tri_px, tri_z, fids, w, h, ortho):
+        img_f = np.full((h, w), -1, np.int64)
+        img_d = np.full((h, w), np.inf, np.float64)
+        for k in np.argsort(fids, kind="stable"):
+            P, Z, fid = tri_px[k], tri_z[k], fids[k]
+            if not ortho and (Z <= 1e-12).any():
+                continue
+            x0, y0 = P[0]
+            x1, y1 = P[1]
+            x2, y2 = P[2]
+            dd = (y1 - y2) * (x0 - x2) + (x2 - x1) * (y0 - y2)
+            if abs(dd) < 1e-300:
+                continue
+            xmin = max(int(np.floor(P[:, 0].min() - 0.5)), 0)
+            xmax = min(int(np.ceil(P[:, 0].max() - 0.5)), w - 1)
+            ymin = max(int(np.floor(P[:, 1].min() - 0.5)), 0)
+            ymax = min(int(np.ceil(P[:, 1].max() - 0.5)), h - 1)
+            for r in range(ymin, ymax + 1):
+                for c in range(xmin, xmax + 1):
+                    gx, gy = (c + 0.5) - x2, (r + 0.5) - y2
+                    l0 = ((y1 - y2) * gx + (x2 - x1) * gy) / dd
+                    l1 = ((y2 - y0) * gx + (x0 - x2) * gy) / dd
+                    l2 = 1.0 - l0 - l1
+                    if l0 >= 0 and l1 >= 0 and l2 >= 0:
+                        if ortho:
+                            dep = l0 * Z[0] + l1 * Z[1] + l2 * Z[2]
+                        else:
+                            inv = l0 / Z[0] + l1 / Z[1] + l2 / Z[2]
+                            dep = np.inf if inv == 0 else 1.0 / inv
+                        if dep < img_d[r, c]:
+                            img_d[r, c] = dep
+                            img_f[r, c] = fid
+        return img_f, img_d
+
+    @pytest.mark.parametrize("seed,ortho", [(0, False), (1, True),
+                                            (2, False), (3, True)])
+    def test_matches_sequential_reference(self, seed, ortho):
+        from geograypher_spark.operators.visibility import rasterize_zbuffer
+
+        rng = np.random.default_rng(seed)
+        n = int(rng.integers(5, 50))
+        w, h = int(rng.integers(6, 32)), int(rng.integers(6, 32))
+        tri = (rng.uniform(-4, w + 4, (n, 1, 2))
+               + rng.uniform(-6, 6, (n, 3, 2)))
+        z = rng.uniform(-5.0 if ortho else 0.5, 20, (n, 3))
+        # exact depth ties: duplicated geometry under distinct face ids
+        dup = min(n, 4)
+        tri = np.concatenate([tri, tri[:dup]])
+        z = np.concatenate([z, z[:dup]])
+        fids = rng.permutation(len(tri)).astype(np.int64) * 3 + 1
+        rf, rd = self._reference(tri, z, fids, w, h, ortho)
+        nf, nd = rasterize_zbuffer(tri, z, fids, w, h,
+                                   return_depth=True, ortho=ortho)
+        assert np.array_equal(rf, nf)
+        assert np.array_equal(rd, nd)
