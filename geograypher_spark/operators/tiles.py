@@ -160,18 +160,25 @@ def rasterize_face_labels(
     emit_images=False → long rows (tile_x, tile_y, class_id, pixel_count);
     emit_images=True  → (tile_x, tile_y, data) uint8 tile images.
     """
+    from .balanced import grouped_apply_balanced
+
     tiled = faces.withColumn("_t", F.explode(_tile_cover_cols(grid))) \
                  .withColumn("tile_x", F.col("_t.tx")) \
                  .withColumn("tile_y", F.col("_t.ty")).drop("_t")
 
+    # tile renders are compute-dense (~50 ms of kernel per ~80 KB group):
+    # route through the balanced grouped-apply so the render stage keeps
+    # one task per stripe of tiles instead of whatever partition count
+    # AQE's byte-based coalescing would leave (measured 14 tasks on 16
+    # cores for a 680-tile scene — the rasterize_big scaling cap)
     if emit_images:
         def agg_img(key: tuple, pdf: pd.DataFrame) -> pd.DataFrame:
             img = _rasterize_tile(pdf, grid, int(key[0]), int(key[1]))
             return pd.DataFrame({
                 "tile_x": [key[0]], "tile_y": [key[1]],
                 "data": [img.tobytes()]})
-        return tiled.groupBy("tile_x", "tile_y").applyInPandas(
-            agg_img, schema=TILE_IMAGE_SCHEMA)
+        return grouped_apply_balanced(
+            tiled, ["tile_x", "tile_y"], agg_img, TILE_IMAGE_SCHEMA)
 
     def agg_counts(key: tuple, pdf: pd.DataFrame) -> pd.DataFrame:
         img = _rasterize_tile(pdf, grid, int(key[0]), int(key[1]))
@@ -181,8 +188,8 @@ def rasterize_face_labels(
             "tile_y": np.full(len(vals), key[1], dtype=np.int64),
             "class_id": vals.astype(np.int32),
             "pixel_count": counts.astype(np.int64)})
-    return tiled.groupBy("tile_x", "tile_y").applyInPandas(
-        agg_counts, schema=RASTERIZE_SCHEMA)
+    return grouped_apply_balanced(
+        tiled, ["tile_x", "tile_y"], agg_counts, RASTERIZE_SCHEMA)
 
 
 # ---------------------------------------------------------------------------

@@ -118,17 +118,19 @@ def sq_ray_edges_dense(spark, sf_dir):
 
 
 def sq_rasterize_big(spark, sf_dir):
-    """~680 independent tile renders through the vectorized orthographic
+    """~2700 independent tile renders through the vectorized orthographic
     z-buffer (tiles.rasterize_face_labels): two displaced flat face layers
     at z=0 and z=1 make EVERY interior pixel a 2-candidate depth resolve,
-    ~200M rasterized samples total. Faces are generated column-side from
-    spark.range (integer-derived doubles — deterministic at any
-    parallelism); the per-tile kernel sorts by face_id, so outputs are
-    byte-identical across levels."""
+    ~800M rasterized samples total (sized up 4x once the balanced grouped
+    apply removed the stage-level stragglers, so the render kernel — not
+    the fixed per-job driver work — dominates both parallelism levels).
+    Faces are generated column-side from spark.range (integer-derived
+    doubles — deterministic at any parallelism); the per-tile kernel
+    sorts by face_id, so outputs are byte-identical across levels."""
     from ..operators import tiles as TL
 
-    G = 320          # quads per side per layer
-    CELL = 0.25      # world units → field spans [0, 80]²
+    G = 640          # quads per side per layer
+    CELL = 0.25     # world units → field spans [0, 160]²
     n = G * G
     ids = spark.range(4 * n)  # 2 layers × {lower,upper} × G² quads
     par = spark.sparkContext.defaultParallelism
@@ -152,7 +154,7 @@ def sq_rasterize_big(spark, sf_dir):
         F.when(F.col("up") == 0, xb).otherwise(xa).alias("x2"),
         yb.alias("y2"), z.alias("z2"),
         ((i + 2 * j + F.col("up") + F.col("layer")) % 7).alias("class_id"))
-    grid = TL.TileGrid(x0=-0.001, y0=80.001, gsd=0.008, tile_px=512)
+    grid = TL.TileGrid(x0=-0.001, y0=160.001, gsd=0.008, tile_px=512)
     return TL.rasterize_face_labels(faces, grid)
 
 
