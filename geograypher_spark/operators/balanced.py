@@ -117,6 +117,8 @@ def grouped_apply_balanced(
     schema,
     partitions: int | None = None,
     max_enumerated_groups: int = 100_000,
+    groups: Sequence[tuple] | None = None,
+    volume: bool = False,
 ) -> DataFrame:
     """``df.groupBy(*keys).applyInPandas(fn, schema)`` with a
     compute-aware exchange (see module docstring).
@@ -134,7 +136,14 @@ def grouped_apply_balanced(
 
     Group enumeration pulls at most ``max_enumerated_groups`` distinct
     keys to the driver in one action; beyond that the group count alone
-    guarantees hash balance and the volume path is used.
+    guarantees hash balance and the volume path is used. When ``df`` is
+    itself expensive to compute, that probe action re-runs its lineage —
+    callers that already know the key domain (e.g. a broadcast camera
+    dict) should pass ``groups`` (a superset is fine: empty buckets cost
+    nothing, and keys with no rows produce no output, exactly like
+    applyInPandas). ``volume=True`` skips the probe and goes straight to
+    the hash-routed path — right for chained stages whose group count is
+    known to be large but whose keys are data-dependent.
     """
     keys = list(keys)
     spark = df.sparkSession
@@ -146,7 +155,14 @@ def grouped_apply_balanced(
     # else — round-robin assignment, placement inversion — happens on the
     # driver, so no count job and no single-partition window stage.
     cap = max_enumerated_groups
-    head = df.select(*keys).distinct().take(cap + 1)
+    if volume and groups is None:
+        return (df.repartition(p, *keys)
+                  .groupBy(*keys).applyInPandas(fn, schema=schema))
+    if groups is not None:
+        head = [tuple(g) if isinstance(g, (tuple, list)) else (g,)
+                for g in groups]
+    else:
+        head = df.select(*keys).distinct().take(cap + 1)
     if not head:
         return spark.createDataFrame([], schema)
     if len(head) > cap:
@@ -154,7 +170,18 @@ def grouped_apply_balanced(
                   .groupBy(*keys).applyInPandas(fn, schema=schema))
 
     inv = inverse_bucket_keys(p)
-    rows = sorted(tuple(r) for r in head)
+    # stripe in content-hash order, not key order: group cost usually
+    # varies smoothly with the natural key (neighboring cameras/tiles see
+    # similar geometry), and a fixed stride over a spatially-ordered list
+    # can alias with that structure (measured: a 24-wide camera grid
+    # striped mod 32 put one stripe at ~2x the median cost). Hashing the
+    # key first gives every stripe an i.i.d.-like cost sample. md5, not
+    # hash(): PYTHONHASHSEED must not change the plan between runs.
+    import hashlib
+
+    rows = sorted(
+        (tuple(r) for r in head),
+        key=lambda r: hashlib.md5(repr(r).encode()).digest())
     assign = spark.createDataFrame(
         pd.DataFrame(
             [(*r, int(inv[i % p])) for i, r in enumerate(rows)],

@@ -537,13 +537,22 @@ def visibility_join(
     ).select("camera_id", "face_id", *FACE_COORD_COLS)
     bc = _broadcast_cameras(cameras)
 
+    from .balanced import grouped_apply_balanced
+
     if split_res_delta <= 0:
         def agg(key: tuple, pdf: pd.DataFrame) -> pd.DataFrame:
             return _counts_pdf(int(key[0]),
                                _render_group(pdf, bc.value[int(key[0])], scale))
 
-        return cand.groupBy("camera_id").applyInPandas(
-            agg, schema=VISIBILITY_SCHEMA)
+        # camera renders are compute-dense (bytes-cheap candidate rows,
+        # z-buffer kernel per group): the balanced grouped-apply keeps the
+        # render stage at one task per camera stripe instead of the
+        # handful AQE's byte-based coalescing leaves. The key domain is
+        # the broadcast camera dict — no probe action on the candidate
+        # join lineage.
+        return grouped_apply_balanced(
+            cand, ["camera_id"], agg, VISIBILITY_SCHEMA,
+            groups=[(int(cid),) for cid in bc.value])
 
     sub = C.cell_id_col(F.col("x0"), F.col("y0"), res + split_res_delta)
     cand = cand.withColumn("_sub", sub)
@@ -569,8 +578,12 @@ def visibility_join(
             "faces": [img[y0:y1, x0:x1].astype("<i8").tobytes()],
             "depths": [depth[y0:y1, x0:x1].astype("<f8").tobytes()]})
 
-    partials = cand.groupBy("camera_id", "_sub").applyInPandas(
-        render_partial, schema=_PARTIAL_SCHEMA)
+    # (camera, sub-cell) keys are data-dependent and numerous by
+    # construction (the split path exists for cameras << cores) — skip
+    # the enumeration probe, hash routing is balanced by volume
+    partials = grouped_apply_balanced(
+        cand, ["camera_id", "_sub"], render_partial, _PARTIAL_SCHEMA,
+        volume=True)
 
     def merge(key: tuple, pdf: pd.DataFrame) -> pd.DataFrame:
         cam_id = int(key[0])
@@ -593,8 +606,9 @@ def visibility_join(
             cur_d[take] = pdp[take]
         return _counts_pdf(cam_id, img)
 
-    return partials.groupBy("camera_id").applyInPandas(
-        merge, schema=VISIBILITY_SCHEMA)
+    return grouped_apply_balanced(
+        partials, ["camera_id"], merge, VISIBILITY_SCHEMA,
+        groups=[(int(cid),) for cid in bc.value])
 
 
 def render_label_images(
