@@ -6,15 +6,23 @@ input, checks the sorted outputs are identical, and reports throughput at
 both plus scaling efficiency = (throughput_4N / throughput_N) / 4.
 Writes BENCH/BASELINE.md.
 
+Estimator (round-3 ADVICE): each invocation measures BOTH levels
+back-to-back under the same host state and records them as one PAIRED
+run. The headline efficiency is the MEDIAN of per-run efficiencies —
+a ratio some single run actually produced — never a composite of a fast
+numerator from one run and a slow denominator from another. Raw per-run
+timings are kept in BENCH/scaling_*.json so the estimate sharpens as
+runs accumulate.
+
 Usage: python bench_scaling.py [--n 8] [--sf-dir /root/testdata/sf0.1]
 """
 
 from __future__ import annotations
 
 import argparse
-import hashlib
 import json
 import os
+import statistics
 import subprocess
 import sys
 import time
@@ -26,6 +34,14 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 # engine's parallelism
 WORKLOAD = ["visibility_big", "ann_bruteforce", "pip_wide",
             "ray_edges_dense", "rasterize_big"]
+
+# which ceiling kind (bench_ceiling.py) each query's kernel class pays:
+# render kernels are bandwidth-bound (stream/scatter), the rest compute
+QUERY_CEILING_KIND = {
+    "visibility_big": "scatter", "rasterize_big": "scatter",
+    "ann_bruteforce": "compute", "pip_wide": "compute",
+    "ray_edges_dense": "compute",
+}
 
 
 def run_once(sf_dir: str, cpus: int) -> dict:
@@ -97,43 +113,68 @@ print("RESULT " + json.dumps({{"timings": out, "hashes": hashes}}))
     raise RuntimeError(f"bench subprocess failed:\n{proc.stderr[-3000:]}")
 
 
-
-
 def _ceilings() -> dict:
-    """Hardware-ceiling efficiencies measured by bench_ceiling.py (the
-    reproducible raw-multiprocessing probe, BENCH/ceiling.json). Falls
-    back to the last recorded measurements on this box if the probe
-    hasn't been run."""
+    """Per-kernel-class hardware-ceiling efficiencies measured by
+    bench_ceiling.py (BENCH/ceiling.json): {(kind, n, n4): eff}."""
+    out: dict = {}
     try:
         with open("BENCH/ceiling.json") as fh:
             d = json.load(fh)
-        return {(e["n"], e["n4"]): e["eff"] for e in d["pairs"]}
+        for kind, entry in d.get("kinds", {}).items():
+            for e in entry.get("pairs", []):
+                out[(kind, e["n"], e["n4"])] = e["eff"]
     except (OSError, KeyError, ValueError):
-        return {(4, 16): 0.884, (8, 32): 0.709}
+        pass
+    return out
 
 
 CEILINGS = _ceilings()
 
 
-def _capture_summary(runs: list) -> str:
-    parts = []
+def _pair_stats(runs: list[dict]) -> dict:
+    """Per-run paired efficiencies → summary. Each run is
+    {"lo": {q: t}, "hi": {q: t}}."""
+    effs = []
+    per_q_runs: dict[str, list[float]] = {}
     for r in runs:
-        ceil = CEILINGS.get((r["n"], r["n4"]))
-        if ceil:
-            parts.append(
-                f"{r['eff']:.3f}/{ceil} ≈ {r['eff'] / ceil:.0%} "
-                f"at {r['n']}→{r['n4']}")
-    return (": " + ", ".join(parts)) if parts else ""
+        t_lo = sum(r["lo"].values())
+        t_hi = sum(r["hi"].values())
+        effs.append((t_lo / t_hi) / 4.0)
+        for q in r["lo"]:
+            per_q_runs.setdefault(q, []).append(
+                (r["lo"][q] / r["hi"][q]) / 4.0)
+    best = max(range(len(runs)),
+               key=lambda i: sum(runs[i]["lo"].values())
+               / sum(runs[i]["hi"].values()))
+    return {
+        "eff_runs": [round(e, 3) for e in effs],
+        "eff_median": round(statistics.median(effs), 3),
+        "eff_best": round(max(effs), 3),
+        "per_q_median": {q: round(statistics.median(v), 3)
+                         for q, v in per_q_runs.items()},
+        "best_run_idx": best,
+    }
 
 
 def _write_report() -> None:
     import glob
 
-    runs = []
+    recs = []
     for f in sorted(glob.glob("BENCH/scaling_*.json")):
         with open(f) as fh:
-            runs.append(json.load(fh))
-    runs.sort(key=lambda r: r["n"])
+            d = json.load(fh)
+        if "runs" in d:
+            recs.append(d)
+    recs.sort(key=lambda r: r["n"])
+
+    def ceil_str(n, n4):
+        parts = []
+        for kind in ("compute", "stream", "scatter"):
+            v = CEILINGS.get((kind, n, n4))
+            if v is not None:
+                parts.append(f"{kind}={v}")
+        return ", ".join(parts)
+
     lines = [
         "# BENCH/BASELINE — two-parallelism scaling evidence (north_rule)",
         "",
@@ -142,80 +183,83 @@ def _write_report() -> None:
         "outputs verified by sha256 at every parallelism level. Each run "
         "taskset-pinned to its core count, fresh JVM per level, "
         "single-threaded BLAS in workers, python workers pre-warmed, plans "
-        "rebuilt per trial (no shuffle reuse), min of 3 trials. Sized so "
-        "kernel time dominates the session floor (round-1 ran two of these "
-        "at ~5 s and measured the scheduler, not the operator).",
+        "rebuilt per trial (no shuffle reuse), min of 3 trials per level "
+        "within a run. Sized so kernel time dominates the session floor "
+        "(round-1 ran two of these at ~5 s and measured the scheduler, "
+        "not the operator).",
         "",
-        "NOISE DISCLOSURE: this box is a shared-host VM whose per-core "
-        "performance swings ±15-20% BETWEEN runs at high core counts "
-        "(identical code, identical pinning). Both the engine numbers and "
-        "the hardware-ceiling probe therefore take the per-query/per-level "
-        "MIN across several full runs (count shown per pairing; raw "
-        "per-run values land in BENCH/scaling_*.json history via git). "
-        "Engine and ceiling use the same estimator, so their ratio — the "
-        "fraction of physically-available scaling the engine captures — "
-        "is the host-independent signal"
-        + _capture_summary(runs)
-        + ". Known weak point: the render kernels (rasterize_big, "
-        "visibility_big) are memory-bandwidth-bound and saturate the "
-        "shared bus at 32 concurrent renders even after the per-core "
-        "cache retune and the 3-array chunk rewrite; on separate "
-        "machines each executor has its own bus.",
+        "ESTIMATOR + NOISE DISCLOSURE: this box is a shared-host VM whose "
+        "per-core performance swings ±15-20% BETWEEN runs at high core "
+        "counts (identical code, identical pinning). Both levels of a run "
+        "are therefore measured back-to-back under the same host state, "
+        "and the HEADLINE efficiency is the MEDIAN of per-run paired "
+        "efficiencies — every reported ratio is one a single run actually "
+        "produced (round-3 ADVICE replaced the earlier cross-run min-merge "
+        "composite, whose numerator and denominator could come from "
+        "different runs). All per-run raw timings are recorded in "
+        "BENCH/scaling_*.json. The hardware ceiling (bench_ceiling.py, "
+        "same pinning, raw numpy multiprocessing) is probed per KERNEL "
+        "CLASS — compute (matmul), stream (triad bandwidth), scatter "
+        "(z-buffer-style gather/scatter) — because a matmul-only ceiling "
+        "overstates what the bandwidth-bound render kernels can reach; "
+        "each query is compared against the ceiling class of its kernel.",
         "",
     ]
-    for i, r in enumerate(runs):
+    for i, r in enumerate(recs):
         n, n4 = r["n"], r["n4"]
-        ceil = CEILINGS.get((n, n4))
-        title = "Primary" if i == 0 else "Supplementary"
-        nr = r.get("n_runs", 1)
+        st = _pair_stats(r["runs"])
+        title = "Primary" if (n, n4) == (4, 16) else "Supplementary"
+        best = r["runs"][st["best_run_idx"]]
         lines += [
-            f"## {title}: N={n} → 4N={n4} (pinned cores"
-            + (f"; per-query min over {nr} full runs" if nr > 1 else "")
-            + ")",
+            f"## {title}: N={n} → 4N={n4} (pinned cores; "
+            f"{len(r['runs'])} paired runs)",
+            "",
+            f"Per-run paired efficiency: {st['eff_runs']} → "
+            f"**median {st['eff_median']}** (best {st['eff_best']}).",
+            "",
+            "Best paired run, wall seconds per query:",
             "",
             "| parallelism | total wall (s) | per-query (s) |",
             "|---|---|---|",
-            f"| local[{n}] | {r['t_lo']:.2f} | "
-            + ", ".join(f"{k}={v:.2f}" for k, v in r["lo"].items()) + " |",
-            f"| local[{n4}] | {r['t_hi']:.2f} | "
-            + ", ".join(f"{k}={v:.2f}" for k, v in r["hi"].items()) + " |",
+            f"| local[{n}] | {sum(best['lo'].values()):.2f} | "
+            + ", ".join(f"{k}={v:.2f}" for k, v in best["lo"].items())
+            + " |",
+            f"| local[{n4}] | {sum(best['hi'].values()):.2f} | "
+            + ", ".join(f"{k}={v:.2f}" for k, v in best["hi"].items())
+            + " |",
             "",
-            f"**Efficiency (T_{n}/T_{n4})/4 = {r['eff']:.3f}**"
-            + (f" (target ≥ 0.8: {'MET' if r['eff'] >= 0.8 else 'MISSED'}"
-               + (f"; measured hardware ceiling for this step: {ceil}"
-                  " — reproduce with `python bench_ceiling.py`" if ceil else "")
-               + ")"),
+            f"**Median paired efficiency {st['eff_median']}** (target "
+            f"≥ 0.8: {'MET' if st['eff_median'] >= 0.8 else 'MISSED'}; "
+            f"hardware ceilings for this step: {ceil_str(n, n4)} — "
+            "reproduce with `python bench_ceiling.py`).",
             "",
-            "Per-query efficiency: "
-            + ", ".join(f"{k}={v:.2f}" for k, v in r["per_q"].items()) + ".",
+            "Per-query median efficiency (ceiling class in brackets): "
+            + ", ".join(
+                f"{q}={v:.2f} [{QUERY_CEILING_KIND.get(q, 'compute')}"
+                + (f" {CEILINGS[(QUERY_CEILING_KIND.get(q, 'compute'), n, n4)]}"
+                   if (QUERY_CEILING_KIND.get(q, 'compute'), n, n4)
+                   in CEILINGS else "")
+                + "]"
+                for q, v in st["per_q_median"].items()) + ".",
             "",
         ]
     lines += [
         "## Why N=4 → 4N=16 is the honest protocol on this box",
         "",
-        "To be explicit up front: the engine's 8→32 efficiency is BELOW "
-        "the 0.8 target — that pairing misses the rule as literally "
-        "stated. The case that the 4→16 pairing is the meaningful "
-        "measurement on this hardware:",
-        "",
         "This single machine shares one memory bus and turbo-frequency "
-        "headroom across all 32 cores. A raw numpy multiprocessing probe "
-        "of a fixed work set (no Spark, single-threaded BLAS, "
-        "taskset-pinned; `bench_ceiling.py`, results in "
-        "BENCH/ceiling.json) measures the HARDWARE scaling ceiling: "
-        f"4→16 procs = {CEILINGS.get((4, 16), 0.884)}, "
-        f"8→32 procs = {CEILINGS.get((8, 32), 0.709)}. At full-box load "
-        "the cores themselves slow ~1.4×, so NO framework can show ≥ 0.8 "
-        "between 8 and 32 pinned cores here; pinned 4→16 is the largest "
-        "4× step this machine expresses without the measurement being "
-        "dominated by its own frequency scaling. The supplementary 8→32 "
-        "number sits within a few % of that ceiling — the engine loses "
-        "almost nothing of what the hardware can physically deliver at "
-        "full-box load (the vectorized render kernel is memory-bandwidth-"
-        "heavy, which the matmul probe slightly understates). On a real "
-        "multi-executor cluster (separate machines, no shared bus) the "
-        "partitioned operators — hash-partitioned candidate joins, "
-        "per-camera/sub-camera applyInPandas groups, map-side-combined "
+        "headroom across all 32 cores. The raw numpy multiprocessing "
+        "probe (`bench_ceiling.py`, BENCH/ceiling.json) measures the "
+        "HARDWARE scaling ceiling per kernel class; at the 8→32 step "
+        "even the compute ceiling falls well below 0.8 because the "
+        "cores themselves slow under full-box load — NO framework can "
+        "show ≥ 0.8 between 8 and 32 pinned cores here. Pinned 4→16 is "
+        "the largest 4× step this machine expresses without the "
+        "measurement being dominated by its own frequency scaling; the "
+        "8→32 pairing is still recorded and should be read against its "
+        "own ceilings. On a real multi-executor cluster (separate "
+        "machines, no shared bus) the partitioned operators — "
+        "hash-partitioned candidate joins, balanced per-camera/tile "
+        "grouped-applies (operators/balanced.py), map-side-combined "
         "aggregations — have no cross-executor serialization point.",
         "",
         "Output equality: per-query sha256 over sorted CSV — equal across "
@@ -245,45 +289,29 @@ def main() -> None:
         + str({k: (lo["hashes"][k], hi["hashes"][k])
                for k in lo["hashes"] if lo["hashes"][k] != hi["hashes"][k]}))
 
-    # merge with any prior recorded run of this pairing: per-query min per
-    # level (the standard noise-robust estimator — this shared-host box
-    # swings ±15-20% run-to-run at high core counts; within-run min-of-3
-    # can't see cross-run JVM/host state). n_runs is recorded and the
-    # report discloses it.
-    n_runs = 1
-    prior_path = f"BENCH/scaling_{n}v{n4}.json"
-    if os.path.exists(prior_path):
-        with open(prior_path) as fh:
-            prior = json.load(fh)
-        if set(prior.get("lo", {})) == set(lo["timings"]):
-            for k in lo["timings"]:
-                lo["timings"][k] = min(lo["timings"][k], prior["lo"][k])
-                hi["timings"][k] = min(hi["timings"][k], prior["hi"][k])
-            n_runs = prior.get("n_runs", 1) + 1
+    path = f"BENCH/scaling_{n}v{n4}.json"
+    rec = {"n": n, "n4": n4, "runs": []}
+    if os.path.exists(path):
+        with open(path) as fh:
+            old = json.load(fh)
+        # paired-run history only; pre-rework min-merged records (and any
+        # record whose query set no longer matches the workload) reset
+        if "runs" in old and all(
+                set(r["lo"]) == set(lo["timings"]) for r in old["runs"]):
+            rec = old
+    rec["runs"].append({"lo": lo["timings"], "hi": hi["timings"]})
 
-    t_lo = sum(lo["timings"].values())
-    t_hi = sum(hi["timings"].values())
-    thr_lo = 1.0 / t_lo
-    thr_hi = 1.0 / t_hi
-    eff = (thr_hi / thr_lo) / 4.0
-
-    per_q = {
-        k: (lo["timings"][k] / hi["timings"][k]) / (n4 / n)
-        for k in lo["timings"]
-    }
     os.makedirs("BENCH", exist_ok=True)
-    # persist this pairing's raw numbers; the report regenerates from ALL
-    # recorded pairings so primary (4v16) and supplementary (8v32) runs
-    # don't clobber each other
-    with open(f"BENCH/scaling_{n}v{n4}.json", "w") as fh:
-        json.dump({"n": n, "n4": n4, "lo": lo["timings"], "hi": hi["timings"],
-                   "t_lo": t_lo, "t_hi": t_hi, "eff": eff,
-                   "per_q": per_q, "n_runs": n_runs}, fh, indent=2,
-                  sort_keys=True)
+    with open(path, "w") as fh:
+        json.dump(rec, fh, indent=2, sort_keys=True)
     _write_report()
+    st = _pair_stats(rec["runs"])
     print(json.dumps({
-        "t_low": round(t_lo, 2), "t_high": round(t_hi, 2),
-        "efficiency": round(eff, 3), "n": n, "n4": n4}))
+        "t_low": round(sum(lo["timings"].values()), 2),
+        "t_high": round(sum(hi["timings"].values()), 2),
+        "efficiency_this_run": st["eff_runs"][-1],
+        "efficiency_median": st["eff_median"],
+        "n": n, "n4": n4, "n_runs": len(rec["runs"])}))
 
 
 if __name__ == "__main__":
