@@ -21,38 +21,61 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-# one live shingle cache per call-site: the result DataFrames are lazy, so
-# the cache cannot be released inside the builder — instead each new call
-# evicts the previous call's cache, bounding accumulation in a long-lived
-# session to one cached shingle set per operator (ADVICE r2). Callers that
-# want eager release call unpersist_dedup_caches() after their action.
-_live_caches: dict[str, DataFrame] = {}
+# live shingle caches, keyed by PLAN (semanticHash), bounded LRU: the
+# result DataFrames are lazy, so a cache cannot be released inside the
+# builder — but keying by call-site (round-3 shape) meant building a
+# second jaccard/minhash pipeline over a DIFFERENT corpus evicted the
+# first pipeline's cache before its DataFrame ever executed (ADVICE r3).
+# Plan-keying keeps each distinct input's cache alive until LRU
+# capacity; identical plans still share one cache. A lock makes the
+# bookkeeping safe for concurrent job threads in one session.
+import threading as _threading
+from collections import OrderedDict as _OrderedDict
+
+_live_caches: "_OrderedDict[int, DataFrame]" = _OrderedDict()
+_LIVE_CACHE_SLOTS = 4
+_cache_lock = _threading.Lock()
 
 
 def _persist_scoped(df: DataFrame, key: str) -> DataFrame:
     from pyspark import StorageLevel
 
-    prev = _live_caches.pop(key, None)
-    if prev is not None:
-        try:
-            if prev.sameSemantics(df):
-                # same input + params → the existing cache IS this plan's
-                # cache (Spark cache lookup is plan-keyed); keep it warm
-                _live_caches[key] = prev
-                return prev
-            prev.unpersist(blocking=False)
-        except Exception:
-            pass  # session may be gone; nothing to release
-    p = df.persist(StorageLevel.MEMORY_AND_DISK)
-    _live_caches[key] = p
+    try:
+        h = df.semanticHash()
+    except Exception:
+        h = None
+    with _cache_lock:
+        if h is not None:
+            prev = _live_caches.get(h)
+            if prev is not None:
+                try:
+                    if prev.sameSemantics(df):
+                        # same input + params → the existing cache IS this
+                        # plan's cache (Spark cache lookup is plan-keyed);
+                        # keep it warm and mark it most-recently used
+                        _live_caches.move_to_end(h)
+                        return prev
+                except Exception:
+                    pass  # session may be gone; fall through to re-persist
+        p = df.persist(StorageLevel.MEMORY_AND_DISK)
+        if h is not None:
+            _live_caches[h] = p
+            while len(_live_caches) > _LIVE_CACHE_SLOTS:
+                _, old = _live_caches.popitem(last=False)
+                try:
+                    old.unpersist(blocking=False)
+                except Exception:
+                    pass
     return p
 
 
 def unpersist_dedup_caches() -> None:
     """Release every shingle cache created by jaccard_pairs/minhash_dedup.
     Safe to call any time after the consuming action has run."""
-    for key in list(_live_caches):
-        df = _live_caches.pop(key)
+    with _cache_lock:
+        caches = list(_live_caches.values())
+        _live_caches.clear()
+    for df in caches:
         try:
             df.unpersist(blocking=False)
         except Exception:
@@ -111,11 +134,12 @@ def jaccard_pairs(
     Default None = exact (small corpora / oracle parity).
 
     The shingle set feeds four plan branches (df histogram, sizes, both
-    join sides); without materialization Spark re-runs the posexplode +
-    lead-window construction — and re-scans the source — once per branch
-    (8 scans observed). One persist turns that into one construction;
-    the cache is scoped (a repeat call evicts the previous one, and
-    ``unpersist_dedup_caches()`` releases it eagerly).
+    join sides); without materialization Spark re-runs the split →
+    slice → explode → distinct construction — and re-scans the source —
+    once per branch (8 scans observed). One persist turns that into one
+    construction; caches are plan-keyed in a small LRU (repeat calls on
+    the same input reuse the warm cache, other inputs get their own
+    slot), and ``unpersist_dedup_caches()`` releases them eagerly.
     """
     sh = _persist_scoped(word_shingles(docs, id_col, text_col, n),
                          "jaccard_pairs")
@@ -273,7 +297,7 @@ def simhash(
 
 def simhash_near_pairs(
     sims: DataFrame, id_col: str = "doc_id", max_hamming: int = 8,
-    n_blocks: int | None = None,
+    n_blocks: int | None = None, block_cap: int | None = None,
 ) -> DataFrame:
     """Pigeonhole bucket join: split the 64-bit hash into ``n_blocks``
     contiguous blocks; a pair within hamming distance ``max_hamming`` has
@@ -282,7 +306,26 @@ def simhash_near_pairs(
     LOSSLESS candidate join on (block_idx, block_value), then exact
     popcount filter. Default ``n_blocks = max_hamming + 1`` (blocks of
     ~64/(h+1) bits); passing ``n_blocks <= max_hamming`` would silently
-    miss pairs and raises instead."""
+    miss pairs and raises instead.
+
+    Each pair is emitted exactly once WITHOUT a dedup shuffle: a pair
+    matching several blocks is attributed to its FIRST matching block,
+    and "first matching block" is a pure column expression over
+    ``sh_a XOR sh_b`` (block j matches iff the XOR's bits in block j are
+    all zero) — the same first-match-attribution idea as the embedding
+    LSH tier (similarity.py), but fully JVM-side because both hashes ride
+    the candidate row.
+
+    ``block_cap`` (opt-in) bounds hot buckets: a (block_idx, block_val)
+    shared by k documents emits k²/2 candidate rows through one join key
+    — k identical simhashes (exact dups that skipped tier 1) are the
+    worst case. With a cap, block occurrences above it are dropped from
+    the join (a count window over the join's own shuffle key, like
+    ``jaccard_pairs``'s df_cap), each document carries an alive-bitmask
+    so attribution only counts SURVIVING blocks, and a pair is lost only
+    if every block it matches on is hot — bounded runtime for a
+    documented recall tradeoff (run ``exact_duplicates`` first so
+    identical texts never reach this tier)."""
     if n_blocks is None:
         n_blocks = max_hamming + 1
     if n_blocks <= max_hamming:
@@ -294,27 +337,70 @@ def simhash_near_pairs(
         raise ValueError("n_blocks > 64: blocks would be empty")
     # variable-width contiguous blocks covering all 64 bits
     bounds = [round(64 * i / n_blocks) for i in range(n_blocks + 1)]
+
+    def _block_mask(i: int):
+        return F.lit((1 << (bounds[i + 1] - bounds[i])) - 1)
+
     block_structs = F.array(*[
         F.struct(
             F.lit(i).alias("block_idx"),
-            F.shiftright("simhash", bounds[i])
-            .bitwiseAND(F.lit((1 << (bounds[i + 1] - bounds[i])) - 1))
+            F.shiftright("simhash", bounds[i]).bitwiseAND(_block_mask(i))
             .alias("block_val"))
         for i in range(n_blocks)])
     stacked = sims.select(
         F.col(id_col), F.col("simhash"), F.explode(block_structs).alias("_b")
     ).select(id_col, "simhash", F.col("_b.block_idx").alias("block_idx"),
              F.col("_b.block_val").alias("block_val"))
-    a = stacked.select(F.col(id_col).alias("id_a"), F.col("simhash").alias("sh_a"),
-                       "block_idx", "block_val")
-    b = stacked.select(F.col(id_col).alias("id_b"), F.col("simhash").alias("sh_b"),
-                       "block_idx", "block_val")
+
+    if block_cap is not None:
+        # count over the join's own shuffle key → exchange reuse; then an
+        # alive-bitmask per doc so first-match attribution skips blocks
+        # the cap removed for EITHER side of a pair
+        w = Window.partitionBy("block_idx", "block_val")
+        stacked = stacked.withColumn("_bn", F.count(F.lit(1)).over(w)) \
+                         .filter(F.col("_bn") <= block_cap).drop("_bn")
+        alive = stacked.groupBy(id_col).agg(
+            F.sum(F.expr("shiftleft(1L, cast(block_idx as int))"))
+            .alias("_alive"))
+        stacked = stacked.join(alive, id_col)
+        a_cols = [F.col(id_col).alias("id_a"),
+                  F.col("simhash").alias("sh_a"),
+                  F.col("_alive").alias("_alive_a"),
+                  "block_idx", "block_val"]
+        b_cols = [F.col(id_col).alias("id_b"),
+                  F.col("simhash").alias("sh_b"),
+                  F.col("_alive").alias("_alive_b"),
+                  "block_idx", "block_val"]
+    else:
+        a_cols = [F.col(id_col).alias("id_a"),
+                  F.col("simhash").alias("sh_a"), "block_idx", "block_val"]
+        b_cols = [F.col(id_col).alias("id_b"),
+                  F.col("simhash").alias("sh_b"), "block_idx", "block_val"]
+
     cand = (
-        a.join(b, ["block_idx", "block_val"])
+        stacked.select(*a_cols).join(stacked.select(*b_cols),
+                                     ["block_idx", "block_val"])
         .filter(F.col("id_a") < F.col("id_b"))
-        .dropDuplicates(["id_a", "id_b"])
     )
-    hamming = F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b")))
+    # first matching block of the pair, straight from the XOR (and, with
+    # a cap, from both alive masks): attribute the pair to that block
+    # only — no dropDuplicates exchange
+    xor = F.col("sh_a").bitwiseXOR(F.col("sh_b"))
+
+    def _matches(i: int):
+        m = F.shiftright(xor, bounds[i]).bitwiseAND(_block_mask(i)) == 0
+        if block_cap is not None:
+            bit = F.lit(1).cast("long")
+            m = m & (F.shiftright(F.col("_alive_a"), i).bitwiseAND(bit) == 1)
+            m = m & (F.shiftright(F.col("_alive_b"), i).bitwiseAND(bit) == 1)
+        return m
+
+    first_match = F.lit(None).cast("int")
+    for i in range(n_blocks - 1, -1, -1):
+        first_match = F.when(_matches(i), F.lit(i)).otherwise(first_match)
+    cand = cand.filter(F.col("block_idx") == first_match)
+
+    hamming = F.bit_count(xor)
     return (
         cand.withColumn("hamming", hamming)
         .filter(F.col("hamming") <= max_hamming)

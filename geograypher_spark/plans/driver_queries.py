@@ -924,9 +924,14 @@ def q_dedup_embedding(spark, sf_dir):
     as_double = F.transform("embedding", lambda x: x.cast("double"))
     shifted = F.transform(
         "embedding", lambda x: x.cast("double") + F.lit(_NEARDUP_SHIFT))
+    # synthetic near-copy ids start past the real id range at ANY scale
+    # factor (a fixed +100000 collided with real ids once the table
+    # reached 100k rows, making pair identities ambiguous — ADVICE r3);
+    # one max() scan, mirrored as a scalar subquery in the oracle SQL
+    offset = emb.agg(F.max("vec_id")).first()[0] + 1
     aug = (emb.select("vec_id", as_double.alias("embedding"))
            .unionByName(emb.filter(F.col("vec_id") % 5 == 0).select(
-               (F.col("vec_id") + 100000).alias("vec_id"),
+               (F.col("vec_id") + F.lit(int(offset))).alias("vec_id"),
                shifted.alias("embedding"))))
     return SIM.embedding_near_duplicates(
         aug, threshold=_NEARDUP_THRESHOLD,
@@ -959,7 +964,7 @@ WITH q0 AS (SELECT vec_id,
             FROM embeddings),
 aug AS (SELECT vec_id, emb FROM q0
         UNION ALL
-        SELECT vec_id + 100000,
+        SELECT vec_id + (SELECT max(vec_id) + 1 FROM embeddings),
                list_transform(emb, x -> x + {_NEARDUP_SHIFT})
         FROM q0 WHERE vec_id % 5 = 0),
 q AS (SELECT vec_id, list_transform(emb, x -> round(x * 1000)) AS qv

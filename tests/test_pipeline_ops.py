@@ -489,3 +489,94 @@ class TestEdgeCases:
         empty = spark.createDataFrame([], "doc_id string, text string")
         assert DD.jaccard_pairs(empty).count() == 0
         assert DD.simhash(empty).count() == 0
+
+
+class TestSimhashFirstMatchAttribution:
+    def _brute_pairs(self, sh: dict, max_hamming: int):
+        ids = sorted(sh)
+        return {(a, b) for i, a in enumerate(ids) for b in ids[i + 1:]
+                if bin(sh[a] ^ sh[b]).count("1") <= max_hamming}
+
+    def test_each_pair_emitted_exactly_once(self, spark):
+        """First-match attribution replaces dropDuplicates: the multiset
+        of emitted pairs must already be a set, equal to the brute-force
+        hamming pairs."""
+        import pandas as pd
+        rng = __import__("numpy").random.default_rng(3)
+        sh = {}
+        base = int(rng.integers(0, 2**63))
+        for i in range(40):
+            v = base
+            for b in rng.choice(64, size=int(rng.integers(0, 12)),
+                                replace=False):
+                v ^= 1 << int(b)
+            sh[f"d{i:02d}"] = v - (1 << 64 if v >= 1 << 63 else 0)
+        sims = spark.createDataFrame(
+            pd.DataFrame({"doc_id": list(sh), "simhash": pd.Series(
+                list(sh.values()), dtype="int64")}))
+        rows = DD.simhash_near_pairs(sims, max_hamming=6).collect()
+        got = [(r["id_a"], r["id_b"]) for r in rows]
+        assert len(got) == len(set(got)), "pair emitted more than once"
+        assert set(got) == self._brute_pairs(
+            {k: v & (2**64 - 1) for k, v in sh.items()}, 6)
+
+    def test_no_dedup_exchange_in_plan(self, spark):
+        import pandas as pd
+        sims = spark.createDataFrame(pd.DataFrame({
+            "doc_id": ["a", "b"],
+            "simhash": pd.Series([3, 7], dtype="int64")}))
+        plan = (DD.simhash_near_pairs(sims, max_hamming=8)
+                ._jdf.queryExecution().executedPlan().toString())
+        # the old dropDuplicates compiled to an extra HashAggregate over
+        # (id_a, id_b); first-match attribution needs none
+        assert "HashAggregate" not in plan
+        assert "dropDuplicates" not in plan
+
+    def test_block_cap_bounds_identical_hash_blowup(self, spark):
+        """~1000 identical simhashes (exact dups that skipped tier 1):
+        uncapped this is 500k candidate pairs through one bucket; with a
+        cap the tier stays bounded and still finds pairs among the
+        uncapped remainder."""
+        import pandas as pd
+        n_hot = 1000
+        hot = pd.DataFrame({
+            "doc_id": [f"h{i:04d}" for i in range(n_hot)],
+            "simhash": pd.Series([12345] * n_hot, dtype="int64")})
+        cold = pd.DataFrame({
+            "doc_id": ["x1", "x2"],
+            "simhash": pd.Series([99991, 99991 ^ 3], dtype="int64")})
+        sims = spark.createDataFrame(pd.concat([hot, cold]))
+        out = DD.simhash_near_pairs(sims, max_hamming=8, block_cap=50)
+        rows = out.collect()
+        pairs = {(r["id_a"], r["id_b"]) for r in rows}
+        # hot block dropped everywhere -> no h-h pairs; cold pair kept
+        assert ("x1", "x2") in pairs
+        assert not any(a.startswith("h") and b.startswith("h")
+                       for a, b in pairs)
+
+    def test_block_cap_alive_mask_keeps_partial_matches(self, spark):
+        """A pair whose FIRST matching block is capped but that also
+        matches a later, uncapped block must still be found (the alive
+        mask makes attribution skip capped blocks)."""
+        import pandas as pd
+        # 9 blocks over 64 bits (max_hamming=8): block 0 = bits 0..6.
+        # Hot group: 60 docs agreeing ONLY on block 0 (bits 0-6 equal,
+        # higher bits random) -> block 0 bucket is hot. Target pair: two
+        # docs sharing block 0 AND block 8; their first match (block 0)
+        # is capped, the block-8 match survives.
+        rng = __import__("numpy").random.default_rng(5)
+        docs = {}
+        for i in range(60):
+            v = (int(rng.integers(0, 2**56)) << 7) | 0x55
+            docs[f"h{i:02d}"] = v
+        ta = (0x3A << 57) | (int(rng.integers(0, 2**50)) << 7) | 0x55
+        tb = (0x3A << 57) | (int(rng.integers(0, 2**50)) << 7) | 0x55
+        docs["ta"], docs["tb"] = ta, tb
+        to_i64 = lambda v: v - (1 << 64 if v >= 1 << 63 else 0)
+        sims = spark.createDataFrame(pd.DataFrame({
+            "doc_id": list(docs),
+            "simhash": pd.Series([to_i64(v) for v in docs.values()],
+                                 dtype="int64")}))
+        out = DD.simhash_near_pairs(sims, max_hamming=63, block_cap=30)
+        pairs = {(r["id_a"], r["id_b"]) for r in out.collect()}
+        assert ("ta", "tb") in pairs
