@@ -80,11 +80,16 @@ def knn_join(
     max_expansions: int = 6,
     broadcast_refs: bool = True,
 ) -> DataFrame:
-    """→ query cols + (ref_id, dist, rank). Exact kNN provided the ring at
-    the final expansion contains ≥k refs — each expansion doubles the ring
-    radius, and a hit is only accepted once the ring guarantees no closer
-    ref outside (dist ≤ ring_radius), so results equal the KDTree answer.
-    ``res=None`` auto-sizes cells from reference density.
+    """→ query cols + (ref_id, dist, rank, guaranteed). Exact kNN provided
+    the ring at the final expansion contains ≥k refs — each expansion
+    doubles the ring radius, and a hit is only accepted once the ring
+    guarantees no closer ref outside (dist ≤ ring_radius), so results
+    equal the KDTree answer. ``res=None`` auto-sizes cells from reference
+    density. ``guaranteed`` is per-query: True when the ring-coverage
+    proof held (the KDTree-exact rows); False marks the best-effort tail
+    a sparse-refs corpus can leave after ``max_expansions`` — those
+    neighbors are the nearest WITHIN the final ring but a closer ref
+    outside it cannot be ruled out.
 
     Each expansion round is driver-synchronized (2 actions + 2
     localCheckpoints): the design assumes DENSE refs relative to queries —
@@ -133,7 +138,8 @@ def knn_join(
             (F.col("_n") == k) & (F.col("_kth") <= F.lit(guaranteed))
         ).select(query_id).localCheckpoint()
         done = ranked.join(F.broadcast(done_ids), query_id, "left_semi").select(
-            query_id, ref_id, "dist", "rank")
+            query_id, ref_id, "dist", "rank",
+            F.lit(True).alias("guaranteed"))
         results = done if results is None else results.unionByName(done)
         residual = residual.join(
             F.broadcast(done_ids), query_id, "left_anti").localCheckpoint()
@@ -143,9 +149,19 @@ def knn_join(
         results = q.limit(0).select(
             query_id, F.lit(None).cast("long").alias(ref_id),
             F.lit(None).cast("double").alias("dist"),
-            F.lit(None).cast("int").alias("rank"))
+            F.lit(None).cast("int").alias("rank"),
+            F.lit(None).cast("boolean").alias("guaranteed"))
     if n_residual > 0:
-        # final pass without the guarantee (best effort on sparse refs):
+        # final pass for the residual queries (sparse refs): rows carry
+        # the SAME ring-coverage check as the loop — per query, True iff
+        # k refs were found with the k-th distance inside the final
+        # ring's guaranteed-covered radius; False marks truncated-ring
+        # best-effort answers a caller must not treat as KDTree-exact
         ranked = ranked_candidates(residual, ring)
-        results = results.unionByName(ranked.select(query_id, ref_id, "dist", "rank"))
+        radius = ring * C.cell_size(res)
+        wq = Window.partitionBy(query_id)
+        flag = ((F.count(F.lit(1)).over(wq) == k)
+                & (F.max("dist").over(wq) <= F.lit(radius)))
+        results = results.unionByName(ranked.select(
+            query_id, ref_id, "dist", "rank", flag.alias("guaranteed")))
     return results

@@ -166,3 +166,57 @@ def test_triangulation_recovers_point(spark, scene):
     p = pts[0]
     np.testing.assert_allclose([p["px"], p["py"], p["pz"]], target[0], atol=1e-6)
     assert p["n_rays"] == len(rows)
+
+
+def test_knn_guaranteed_flag_sparse_refs(spark):
+    """Sparse refs + a truncated expansion budget leave a best-effort
+    tail. Contract: guaranteed=True rows are exactly the KDTree answer;
+    any query whose best-effort rows differ from the true kNN (wrong
+    neighbor OR fewer than k neighbors) MUST be flagged
+    guaranteed=False (the flag never lies)."""
+    rng = np.random.default_rng(11)
+    # res=5 -> 32-unit cells. Dense cluster at the origin resolves with
+    # a full guarantee; a LONE ref at (200, 200) serves nearby queries
+    # k=2 with only one reachable neighbor -> best-effort tail.
+    q = pd.DataFrame({
+        "query_id": np.arange(40, dtype=np.int64),
+        "x": np.concatenate([rng.uniform(0, 60, 30), rng.uniform(180, 220, 10)]),
+        "y": np.concatenate([rng.uniform(0, 60, 30), rng.uniform(180, 220, 10)])})
+    r = pd.DataFrame({
+        "ref_id": np.arange(7, dtype=np.int64),
+        "x": np.concatenate([rng.uniform(0, 60, 6), [200.0]]),
+        "y": np.concatenate([rng.uniform(0, 60, 6), [200.0]])})
+    got = KNN.knn_join(spark.createDataFrame(q), spark.createDataFrame(r),
+                       k=2, res=5, max_expansions=2).collect()
+    qx = q[["x", "y"]].to_numpy()
+    rx = r[["x", "y"]].to_numpy()
+    d = np.linalg.norm(qx[:, None, :] - rx[None, :, :], axis=2)
+    true_knn = np.argsort(d, axis=1)[:, :2]
+    by_q = {}
+    for row in got:
+        by_q.setdefault(int(row["query_id"]), []).append(row)
+    n_unguaranteed = 0
+    for qid, rows in by_q.items():
+        rows.sort(key=lambda r: r["rank"])
+        flags = {r["guaranteed"] for r in rows}
+        assert len(flags) == 1, f"query {qid}: mixed flags"
+        exact = ([r["ref_id"] for r in rows] == list(true_knn[qid]))
+        if flags == {True}:
+            assert exact, f"guaranteed rows wrong for query {qid}"
+        else:
+            n_unguaranteed += 1
+        if not exact:
+            assert flags == {False}, (
+                f"query {qid}: rows differ from KDTree but flagged True")
+    # the fixture is built so the tail actually exists
+    assert n_unguaranteed > 0
+
+
+def test_knn_guaranteed_true_on_dense_refs(spark):
+    rng = np.random.default_rng(4)
+    q = pd.DataFrame({"query_id": np.arange(50, dtype=np.int64),
+                      "x": rng.uniform(0, 50, 50), "y": rng.uniform(0, 50, 50)})
+    r = pd.DataFrame({"ref_id": np.arange(400, dtype=np.int64),
+                      "x": rng.uniform(0, 50, 400), "y": rng.uniform(0, 50, 400)})
+    got = KNN.knn_join(spark.createDataFrame(q), spark.createDataFrame(r), k=2).collect()
+    assert all(row["guaranteed"] for row in got)
