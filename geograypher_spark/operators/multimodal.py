@@ -2,12 +2,13 @@
 
 Media travel as opaque ``binary`` columns + typed metadata structs; decode /
 feature-extract / resize / frame-sample run as Arrow-batched ``mapInPandas``
-stages. The actual codec libraries (Pillow/ffmpeg/librosa) are NOT in this
-container, so the decode step is STUBBED: ``decode_image`` raises
-``NotImplementedError`` unless ``fake=True``, in which case a deterministic
-fake decoder (seeded from the payload hash) produces stable arrays so the
-Spark-side plumbing — schema, partitioning, UDF signature, batch shape —
-is real and tested end to end.
+stages. ``decode_image`` REALLY decodes PNG payloads via the from-scratch
+stdlib-zlib codec in ``functions/png.py`` (8-bit gray/RGB/RGBA/palette).
+Other formats (JPEG/ffmpeg/librosa territory) stay stubbed: the call
+raises ``NotImplementedError`` unless ``fake=True``, in which case a
+deterministic fake decoder (seeded from the payload hash) produces stable
+arrays so the Spark-side plumbing — schema, partitioning, UDF signature,
+batch shape — is real and tested end to end for every format.
 """
 
 from __future__ import annotations
@@ -43,11 +44,19 @@ def _fake_decode(payload: bytes, h: int, w: int) -> np.ndarray:
 
 
 def decode_image(payload: bytes, h: int = 64, w: int = 64, fake: bool = False) -> np.ndarray:
-    if not fake:
-        raise NotImplementedError(
-            "real image codecs are not available in this environment; "
-            "pass fake=True for the deterministic stub decoder")
-    return _fake_decode(payload, h, w)
+    """PNG payloads decode for real (``functions/png.py``); anything else
+    needs ``fake=True`` (deterministic stub) until a JPEG kernel exists.
+    ``h``/``w`` only parameterize the fake decoder — real decodes return
+    the image's own dimensions as (h, w[, c]) uint8."""
+    if fake:
+        return _fake_decode(payload, h, w)
+    from ..functions import png as PNG
+
+    if PNG.is_png(bytes(payload)):
+        return PNG.decode_png(bytes(payload))
+    raise NotImplementedError(
+        "only PNG decodes natively in this environment (functions/png.py); "
+        "pass fake=True for the deterministic stub decoder")
 
 
 FEATURE_SCHEMA = T.StructType([
