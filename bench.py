@@ -39,6 +39,10 @@ HEADLINE = [
                             # ann_cosine brute force stays in the
                             # correctness contract, not the headline)
     "doc_roundtrip",        # span explode + reassemble
+    # §3 pipeline COMPOSITIONS (r4): track stage-join/checkpoint overhead
+    # round-over-round, not just the component queries
+    "forward_pipeline",     # label transfer end to end (§3.1)
+    "render_labels",        # reverse render pipeline end to end (§3.2)
 ]
 
 

@@ -813,6 +813,87 @@ FROM (VALUES (0, 9, 3.0, 3.7, 0.5),
 """
 
 
+# ---------------------------------------------------------------------------
+# Multiview detections pipeline (SURVEY §3.3) — END-TO-END contract:
+# detections → rays (broadcast cams) → τ graph → components → triangulate.
+# Each stage has its own green oracle; this gates the COMPOSITION
+# (round-3 VERDICT next #5). Same analytic idea as q_triangulate: every
+# detection is the exact projection of a known target, so the pipeline
+# must reproduce the targets; bundle membership and the fixed ray length
+# are derived at import time from the fixture definition (closed form,
+# no engine run).
+# ---------------------------------------------------------------------------
+
+_MVD_TARGETS = np.array([[3.0, 3.7, 0.5], [7.3, 6.1, 0.8], [5.1, 2.0, 0.2]])
+_MVD_TAU = 0.005
+
+
+def _mvd_fixture():
+    """→ (detection rows, per-target ray-id bundles, ray_length): project
+    every target into every camera of the seed-42 scene; detection ids
+    are target-major so each component id is its bundle's min ray id.
+    ray_length clears the farthest camera→target distance, short enough
+    that rays aimed at different targets stay > τ apart (verified by the
+    contract gate itself — the fixture is fully deterministic)."""
+    from ..functions import camera as cam_fn
+    from ..sources.scene import make_scene
+
+    scene = make_scene(seed=42)
+    rows, bundles = [], []
+    rid = 0
+    max_dist = 0.0
+    for tgt in _MVD_TARGETS:
+        bundle = []
+        for c in scene.cameras:
+            c2w = np.asarray(c["cam_to_world"]).reshape(4, 4)
+            px, py, z = cam_fn.project_points(
+                tgt[None, :], c2w, c["f"], c["cx"], c["cy"], c["w"], c["h"])
+            if not cam_fn.in_image_mask(px, py, z, c["w"], c["h"])[0]:
+                continue
+            rows.append({"detection_id": rid,
+                         "camera_id": int(c["camera_id"]),
+                         "px": float(px[0]), "py": float(py[0])})
+            max_dist = max(max_dist,
+                           float(np.linalg.norm(tgt - c2w[:3, 3])))
+            bundle.append(rid)
+            rid += 1
+        bundles.append(bundle)
+    return rows, bundles, round(max_dist + 0.5, 3)
+
+
+def q_multiview_detections(spark, sf_dir):
+    """§3.3 composition: multiview_detections_pipeline end to end."""
+    import pandas as pd
+
+    from .pipelines import multiview_detections_pipeline
+
+    verts, faces, polys, cams = _scene(spark)
+    rows, _, ray_length = _mvd_fixture()
+    det = spark.createDataFrame(pd.DataFrame(rows))
+    out = multiview_detections_pipeline(
+        spark, cams, det, ray_length=ray_length, tau=_MVD_TAU)
+    return out.select(
+        "component", "n_rays",
+        F.round("px", 6).alias("px"), F.round("py", 6).alias("py"),
+        F.round("pz", 6).alias("pz"))
+
+
+def _multiview_detections_oracle_sql() -> str:
+    """Closed form from the fixture definition: component = min ray id of
+    the target's bundle, n_rays = bundle size, point = the target."""
+    _, bundles, _ = _mvd_fixture()
+    vals = ", ".join(
+        f"({min(b)}, {len(b)}, {t[0]!r}, {t[1]!r}, {t[2]!r})"
+        for b, t in zip(bundles, _MVD_TARGETS) if b)
+    return f"""
+SELECT CAST(component AS BIGINT) AS component,
+       CAST(n_rays AS INTEGER) AS n_rays,
+       CAST(px AS DOUBLE) AS px, CAST(py AS DOUBLE) AS py,
+       CAST(pz AS DOUBLE) AS pz
+FROM (VALUES {vals}) t(component, n_rays, px, py, pz)
+"""
+
+
 def q_simhash(spark, sf_dir):
     """SimHash with the engine-portable md5_64 hash family so the oracle
     reproduces it bit-for-bit (the xxhash64 fast path is pytest-covered)."""
@@ -1188,6 +1269,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "visibility_zbuffer": q_visibility_zbuffer,
     "face_class_union": q_face_class_union,
     "triangulate": q_triangulate,
+    "multiview_detections": q_multiview_detections,
     "simhash": q_simhash,
     "ann_lsh": q_ann_lsh,
     "ann_ivf": q_ann_ivf,
@@ -1228,6 +1310,7 @@ ORACLES: dict[str, str] = {
     "visibility_zbuffer": None,   # filled below (lazy import of analytic)
     "face_class_union": SQL_FACE_CLASS_UNION,
     "triangulate": SQL_TRIANGULATE,
+    "multiview_detections": _multiview_detections_oracle_sql(),
     "simhash": _simhash_oracle_sql(),
     "ann_lsh": _ann_lsh_oracle_sql(),
     "ann_ivf": SQL_ANN_IVF,

@@ -105,6 +105,10 @@ def test_every_query_has_runnable_callable(contract, spark):
     # round-3: reverse pipeline (render_labels_pipeline end-to-end), the
     # embedding-cosine near-dup dedup tier, distributed Louvain
     "render_labels", "dedup_embedding", "louvain",
+    # round-4: the detections pipeline COMPOSITION (each stage was already
+    # gated; this gates detections -> rays -> graph -> components ->
+    # triangulation end to end)
+    "multiview_detections",
 ])
 def test_query_matches_oracle(contract, spark, duck, name):
     q = contract.queries()[name]
