@@ -68,19 +68,23 @@ def _polygon_covering_pdf(
     polygons_pdf: "pd.DataFrame", wkb_col: str, res: int,
     max_cells_per_polygon: int,
 ) -> "pd.DataFrame":
-    outs = []
-    for _, row in polygons_pdf.iterrows():
-        polys = geom.wkb_to_rings(bytes(row[wkb_col]))
-        xmin, ymin, xmax, ymax = geom.rings_bbox(polys)
-        cc = C.covering_cells_np(xmin, ymin, xmax, ymax, res,
-                                 max_cells=max_cells_per_polygon)
-        o = pd.DataFrame({"cell": cc})
-        for c in polygons_pdf.columns:
-            o[c] = [row[c]] * len(cc)
-        outs.append(o)
-    return pd.concat(outs) if outs else pd.DataFrame(
-        {"cell": pd.Series([], dtype="int64"),
-         **{c: pd.Series([], dtype=object) for c in polygons_pdf.columns}})
+    if not len(polygons_pdf):
+        return pd.DataFrame(
+            {"cell": pd.Series([], dtype="int64"),
+             **{c: pd.Series([], dtype=object)
+                for c in polygons_pdf.columns}})
+    # bbox per geometry (WKB parse is per-row by nature), then ONE
+    # batched covering + np.repeat emission for the whole frame
+    boxes = np.array([
+        geom.rings_bbox(geom.wkb_to_rings(bytes(v)))
+        for v in polygons_pdf[wkb_col]], dtype=np.float64)
+    cells, counts = C.covering_cells_batch(
+        boxes[:, 0], boxes[:, 1], boxes[:, 2], boxes[:, 3], res,
+        max_cells=max_cells_per_polygon)
+    out = polygons_pdf.iloc[
+        np.repeat(np.arange(len(polygons_pdf)), counts)].reset_index(drop=True)
+    out.insert(0, "cell", cells)
+    return out
 
 
 def polygon_covering_cells_driver(

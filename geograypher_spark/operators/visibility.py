@@ -330,20 +330,15 @@ def camera_footprint_cells(
                 pdf["cx"].to_numpy(np.float64), pdf["cy"].to_numpy(np.float64),
                 pdf["w"].to_numpy(np.float64), pdf["h"].to_numpy(np.float64),
                 z_min, z_max)
-            outs = []
-            for i, (_, row) in enumerate(pdf.iterrows()):
-                if not ok[i]:
-                    continue
-                cc = C.covering_cells_np(
-                    float(xmin[i]), float(ymin[i]), float(xmax[i]),
-                    float(ymax[i]), res, max_cells=max_cells)
-                o = pd.DataFrame({"cell": cc})
-                for c in cols:
-                    o[c] = [row[c]] * len(cc)
-                outs.append(o)
-            yield pd.concat(outs) if outs else pd.DataFrame(
-                {"cell": pd.Series([], dtype="int64"),
-                 **{c: pd.Series([], dtype=object) for c in cols}})
+            # batch emission: all cells of the batch in one np.repeat
+            # gather instead of a per-camera DataFrame append
+            keep = np.nonzero(ok)[0]
+            cells, counts = C.covering_cells_batch(
+                xmin[keep], ymin[keep], xmax[keep], ymax[keep],
+                res, max_cells=max_cells)
+            o = pdf.iloc[np.repeat(keep, counts)].reset_index(drop=True)
+            o.insert(0, "cell", cells)
+            yield o
 
     schema = T.StructType(
         [T.StructField("cell", T.LongType())] + list(cameras.schema.fields))
@@ -375,16 +370,14 @@ def camera_footprint_cells_driver(
             np.array([float(r["w"]) for r in rows]),
             np.array([float(r["h"]) for r in rows]),
             z_min, z_max)
-    for i, row in enumerate(rows):
-        if not ok[i]:
-            continue
-        cc = C.covering_cells_np(
-            float(xmin[i]), float(ymin[i]), float(xmax[i]), float(ymax[i]),
+        keep = np.nonzero(ok)[0]
+        cells, counts = C.covering_cells_batch(
+            xmin[keep], ymin[keep], xmax[keep], ymax[keep],
             res, max_cells=max_cells)
-        for cell in cc:
-            out["cell"].append(int(cell))
+        out["cell"] = cells.tolist()
+        for i, cnt in zip(keep, counts):
             for c in cameras.columns:
-                out[c].append(row[c])
+                out[c].extend([rows[int(i)][c]] * int(cnt))
     spark = cameras.sparkSession
     levels = C.res_levels_of_cells(out["cell"]) or [res]
     schema = T.StructType(

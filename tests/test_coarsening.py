@@ -134,3 +134,33 @@ def test_visibility_coarsened_footprint(spark):
     a = {(r["camera_id"], r["face_id"]): r["pixel_count"] for r in base.collect()}
     b = {(r["camera_id"], r["face_id"]): r["pixel_count"] for r in coarse.collect()}
     assert a == b and sum(a.values()) == 200 * 200
+
+
+class TestCoveringCellsBatch:
+    def test_batch_equals_scalar_per_row(self):
+        """covering_cells_batch must reproduce covering_cells_np row by
+        row exactly — same coarsening decisions, same x-major order."""
+        rng = np.random.default_rng(8)
+        n = 60
+        xmin = rng.uniform(-500, 500, n)
+        ymin = rng.uniform(-500, 500, n)
+        xmax = xmin + rng.uniform(0.01, 900, n)
+        ymax = ymin + rng.uniform(0.01, 900, n)
+        for res, max_cells in [(4, None), (6, 64), (8, 16), (10, 4096)]:
+            cells, counts = C.covering_cells_batch(
+                xmin, ymin, xmax, ymax, res, max_cells=max_cells)
+            off = 0
+            for i in range(n):
+                want = C.covering_cells_np(
+                    float(xmin[i]), float(ymin[i]), float(xmax[i]),
+                    float(ymax[i]), res, max_cells=max_cells)
+                got = cells[off:off + counts[i]]
+                assert np.array_equal(got, want), (res, max_cells, i)
+                off += counts[i]
+            assert off == len(cells)
+
+    def test_batch_empty(self):
+        cells, counts = C.covering_cells_batch(
+            np.array([]), np.array([]), np.array([]), np.array([]), 5,
+            max_cells=10)
+        assert len(cells) == 0 and len(counts) == 0
