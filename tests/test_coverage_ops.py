@@ -290,3 +290,21 @@ class TestEquirect:
                                           yaw=0, out_h=32, out_w=32)
         assert out[16, 16] > 200  # center of view hits the marked region
         assert out[0, 0] < 50
+
+
+class TestMeshSink:
+    def test_write_mesh_tables_roundtrip(self, spark, scene, tmp_path):
+        from geograypher_spark.sources.scene import scene_to_spark
+
+        verts, faces, polys, cams = scene_to_spark(spark, scene)
+        out = str(tmp_path / "mesh")
+        sinks.write_mesh_tables(faces, verts, out,
+                                ids_to_labels={0: "ground", 1: "canopy"})
+        f2 = spark.read.parquet(out + "/faces")
+        v2 = spark.read.parquet(out + "/verts")
+        assert f2.count() == faces.count()
+        assert v2.count() == verts.count()
+        assert set(f2.columns) == set(faces.columns)
+        import json as _json
+        with open(out + "/IDs_to_labels.json") as fh:
+            assert _json.load(fh) == {"0": "ground", "1": "canopy"}
