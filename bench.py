@@ -67,17 +67,25 @@ def run(sf_dir: str, cpus: str, shuffle_partitions: int | None = None) -> dict:
     rows: dict[str, int] = {}
     for name in HEADLINE:
         q = DQ.QUERIES[name]
-        # per-query untimed warmup, then time a REBUILT plan: whole-stage
-        # codegen compiles once per generated class (janino dominates a
-        # cold first run by seconds); a long-running engine amortizes that
-        # constant, so steady-state is the meaningful throughput number —
-        # same convention as bench_scaling. Rebuilding the DataFrame
-        # prevents shuffle-file reuse from skipping real stages.
+        # per-query untimed warmup, then MIN OF 3 timed trials on REBUILT
+        # plans: whole-stage codegen compiles once per generated class
+        # (janino dominates a cold first run by seconds) — a long-running
+        # engine amortizes that constant, so steady-state is the
+        # meaningful throughput number. Min-of-3 mirrors bench_scaling's
+        # trial rule: this box's per-core speed swings ±15-20% between
+        # runs, and a single sample cannot separate engine changes from
+        # host noise (round-4 drift was unarbitrable for exactly this
+        # reason). Rebuilding the DataFrame per trial prevents
+        # shuffle-file reuse from skipping real stages.
         q(spark, sf_dir).count()
-        t0 = time.time()
-        df = q(spark, sf_dir)
-        n = df.count()
-        timings[name] = round(time.time() - t0, 3)
+        best, n = None, 0
+        for _ in range(3):
+            df = q(spark, sf_dir)
+            t0 = time.time()
+            n = df.count()
+            dt = time.time() - t0
+            best = dt if best is None else min(best, dt)
+        timings[name] = round(best, 3)
         rows[name] = n
     spark.stop()
     return {"timings": timings, "rows": rows}
@@ -93,10 +101,18 @@ def main() -> None:
         sf_val = float(sf)
     except ValueError:
         sf_val = sf
+    # the two §3 composition entries were added to the headline in r4 —
+    # report the 10-query common core alongside the full total so
+    # round-over-round deltas stay comparable across that definition change
+    core = [q for q in HEADLINE
+            if q not in ("forward_pipeline", "render_labels")]
     out = {
         "metric": "headline_queries_total_wall",
         "value": total,
         "unit": "sec",
+        "protocol": "min-of-3 steady-state (per-query warmup, plan rebuilt per trial)",
+        "common_core_total": round(
+            sum(res["timings"][q] for q in core), 3),
         "queries": res["timings"],
         "rows": res["rows"],
         "sf": sf_val,

@@ -39,6 +39,7 @@ from __future__ import annotations
 
 from typing import Callable, Sequence
 
+import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
@@ -141,7 +142,10 @@ def grouped_apply_balanced(
     callers that already know the key domain (e.g. a broadcast camera
     dict) should pass ``groups`` (a superset is fine: empty buckets cost
     nothing, and keys with no rows produce no output, exactly like
-    applyInPandas). ``volume=True`` skips the probe and goes straight to
+    applyInPandas; keys MISSING from ``groups`` — and null-valued keys,
+    which no equi-join matches — are still processed, routed to a
+    shared fallback bucket). ``volume=True`` skips the probe and goes
+    straight to
     the hash-routed path — right for chained stages whose group count is
     known to be large but whose keys are data-dependent.
     """
@@ -179,8 +183,11 @@ def grouped_apply_balanced(
     # hash(): PYTHONHASHSEED must not change the plan between runs.
     import hashlib
 
+    # null-valued keys can't match an equi-join anyway — leave them out
+    # of the routing table (they reach the fallback bucket below) so the
+    # assign DataFrame stays cleanly typed
     rows = sorted(
-        (tuple(r) for r in head),
+        (tuple(r) for r in head if not any(v is None for v in r)),
         key=lambda r: hashlib.md5(repr(r).encode()).digest())
     assign = spark.createDataFrame(
         pd.DataFrame(
@@ -188,19 +195,67 @@ def grouped_apply_balanced(
             columns=[*keys, "_gb"]),
         schema=df.select(*keys).schema.add("_gb", "long"),
     )
-    routed = df.join(F.broadcast(assign), keys).repartition(p, "_gb")
+    # LEFT join + fallback bucket: a caller-supplied ``groups`` that
+    # under-covers the data (or null-valued keys, which no equi-join
+    # matches) must not silently drop rows — applyInPandas processes
+    # every group. Unrouted keys all land in bucket 0; a gross
+    # under-coverage would skew that one partition, but that is a
+    # contract violation made loud (the rows come out), not a hang.
+    fallback = int(inv[0])
+    routed = (
+        df.join(F.broadcast(assign), keys, "left")
+          .withColumn("_gb", F.coalesce(F.col("_gb"), F.lit(fallback)))
+          .repartition(p, "_gb")
+          # group rows contiguous within the partition so the executor
+          # streams one group at a time (below) instead of materializing
+          # the whole multi-group partition in one pandas frame — at 576
+          # cameras × 32 buckets a partition holds ~18 cameras of
+          # candidate rows, and a full concat doubled peak memory and
+          # copied every Arrow batch twice (round-4 visibility_big
+          # regression). Sort cost is a vectorized JVM in-partition sort
+          # of key columns only — noise next to the per-group kernels
+          # this operator exists for.
+          .sortWithinPartitions(*keys))
+    cols = df.columns
 
     def run_partition(batches):
-        chunks = list(batches)
-        if not chunks:
-            return
-        pdf = pd.concat(chunks, ignore_index=True)
-        if not len(pdf):
-            return
-        for key, g in pdf.groupby(keys, sort=False):
-            if not isinstance(key, tuple):
-                key = (key,)
-            out = fn(key, g.drop(columns=["_gb"]).reset_index(drop=True))
+        cur_key: tuple | None = None
+        cur_buf: list[pd.DataFrame] | None = None
+
+        def call(key, frames):
+            g = frames[0] if len(frames) == 1 else pd.concat(
+                frames, ignore_index=True)
+            # original column order + drop _gb: identical frame contract
+            # to applyInPandas (a position-dependent fn sees df's order)
+            return fn(key, g[cols].reset_index(drop=True))
+
+        for pdf in batches:
+            n = len(pdf)
+            if not n:
+                continue
+            # contiguous group runs (rows are key-sorted): ngroup codes
+            # increase at group boundaries; dropna=False keeps null-keyed
+            # rows as a real group, matching applyInPandas
+            codes = pdf.groupby(list(keys), sort=False,
+                                dropna=False).ngroup().to_numpy()
+            bounds = np.flatnonzero(codes[1:] != codes[:-1]) + 1
+            starts = np.concatenate(([0], bounds))
+            ends = np.concatenate((bounds, [n]))
+            for s, e in zip(starts, ends):
+                run = pdf.iloc[s:e]
+                key = tuple(
+                    None if pd.isna(v) else v
+                    for v in (run.iloc[0][k] for k in keys))
+                if cur_buf is not None and key == cur_key:
+                    cur_buf.append(run)   # group spans an Arrow batch edge
+                else:
+                    if cur_buf is not None:
+                        out = call(cur_key, cur_buf)
+                        if out is not None and len(out):
+                            yield out
+                    cur_key, cur_buf = key, [run]
+        if cur_buf is not None:
+            out = call(cur_key, cur_buf)
             if out is not None and len(out):
                 yield out
 

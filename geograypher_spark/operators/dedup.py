@@ -34,6 +34,11 @@ from collections import OrderedDict as _OrderedDict
 
 _live_caches: "_OrderedDict[int, DataFrame]" = _OrderedDict()
 _LIVE_CACHE_SLOTS = 4
+# persists that never got a slot key (semanticHash threw) or were
+# displaced by a hash collision: tracked so unpersist_dedup_caches can
+# still release them — overwriting/skipping a slot must never orphan a
+# persisted DataFrame in a long-lived session (round-4 ADVICE)
+_untracked_caches: list[DataFrame] = []
 _cache_lock = _threading.Lock()
 
 
@@ -57,6 +62,10 @@ def _persist_scoped(df: DataFrame, key: str) -> DataFrame:
                         return prev
                 except Exception:
                     pass  # session may be gone; fall through to re-persist
+                # semanticHash collision (same h, different plan): the new
+                # persist takes the slot; the displaced cache moves to the
+                # untracked list so it stays releasable
+                _untracked_caches.append(prev)
         p = df.persist(StorageLevel.MEMORY_AND_DISK)
         if h is not None:
             _live_caches[h] = p
@@ -66,6 +75,8 @@ def _persist_scoped(df: DataFrame, key: str) -> DataFrame:
                     old.unpersist(blocking=False)
                 except Exception:
                     pass
+        else:
+            _untracked_caches.append(p)
     return p
 
 
@@ -73,8 +84,9 @@ def unpersist_dedup_caches() -> None:
     """Release every shingle cache created by jaccard_pairs/minhash_dedup.
     Safe to call any time after the consuming action has run."""
     with _cache_lock:
-        caches = list(_live_caches.values())
+        caches = list(_live_caches.values()) + _untracked_caches
         _live_caches.clear()
+        _untracked_caches.clear()
     for df in caches:
         try:
             df.unpersist(blocking=False)

@@ -3,9 +3,11 @@
 Media travel as opaque ``binary`` columns + typed metadata structs; decode /
 feature-extract / resize / frame-sample run as Arrow-batched ``mapInPandas``
 stages. ``decode_image`` REALLY decodes PNG payloads via the from-scratch
-stdlib-zlib codec in ``functions/png.py`` (8-bit gray/RGB/RGBA/palette).
-Other formats (JPEG/ffmpeg/librosa territory) stay stubbed: the call
-raises ``NotImplementedError`` unless ``fake=True``, in which case a
+stdlib-zlib codec in ``functions/png.py`` (8-bit gray/RGB/RGBA/palette)
+and baseline JPEG via the from-scratch Huffman+IDCT codec in
+``functions/jpeg.py`` — the reference's two actual imagery formats.
+Audio/video (ffmpeg/librosa territory) stay stubbed: the call raises
+``NotImplementedError`` unless ``fake=True``, in which case a
 deterministic fake decoder (seeded from the payload hash) produces stable
 arrays so the Spark-side plumbing — schema, partitioning, UDF signature,
 batch shape — is real and tested end to end for every format.
@@ -44,19 +46,25 @@ def _fake_decode(payload: bytes, h: int, w: int) -> np.ndarray:
 
 
 def decode_image(payload: bytes, h: int = 64, w: int = 64, fake: bool = False) -> np.ndarray:
-    """PNG payloads decode for real (``functions/png.py``); anything else
-    needs ``fake=True`` (deterministic stub) until a JPEG kernel exists.
-    ``h``/``w`` only parameterize the fake decoder — real decodes return
-    the image's own dimensions as (h, w[, c]) uint8."""
+    """PNG and baseline JPEG payloads decode for real
+    (``functions/png.py`` / ``functions/jpeg.py`` — the reference's two
+    actual imagery formats, ``geograypher/utils/image.py:10-26``);
+    anything else needs ``fake=True`` (deterministic stub). ``h``/``w``
+    only parameterize the fake decoder — real decodes return the image's
+    own dimensions as (h, w[, c]) uint8."""
     if fake:
         return _fake_decode(payload, h, w)
+    from ..functions import jpeg as JPEG
     from ..functions import png as PNG
 
     if PNG.is_png(bytes(payload)):
         return PNG.decode_png(bytes(payload))
+    if JPEG.is_jpeg(bytes(payload)):
+        return JPEG.decode_jpeg(bytes(payload))
     raise NotImplementedError(
-        "only PNG decodes natively in this environment (functions/png.py); "
-        "pass fake=True for the deterministic stub decoder")
+        "only PNG and baseline JPEG decode natively in this environment "
+        "(functions/png.py, functions/jpeg.py); pass fake=True for the "
+        "deterministic stub decoder")
 
 
 FEATURE_SCHEMA = T.StructType([

@@ -152,15 +152,40 @@ def _rasterize_tile(pdf: pd.DataFrame, grid: TileGrid, tx: int, ty: int) -> np.n
     return img
 
 
+def tile_keys_for_bounds(
+    grid: TileGrid, bounds: tuple[float, float, float, float],
+) -> list[tuple[int, int]]:
+    """All (tile_x, tile_y) the world bbox (xmin, ymin, xmax, ymax) can
+    touch — the same floor arithmetic as ``_tile_cover_cols``, evaluated
+    driver-side, so the list is a covering superset of every tile any
+    in-bounds face explodes to."""
+    tm = grid.tile_m
+    tx0 = int(np.floor((bounds[0] - grid.x0) / tm))
+    tx1 = int(np.floor((bounds[2] - grid.x0) / tm))
+    ty0 = int(np.floor((grid.y0 - bounds[3]) / tm))
+    ty1 = int(np.floor((grid.y0 - bounds[1]) / tm))
+    return [(tx, ty) for tx in range(tx0, tx1 + 1)
+            for ty in range(ty0, ty1 + 1)]
+
+
 def rasterize_face_labels(
     faces: DataFrame, grid: TileGrid, emit_images: bool = False,
+    bounds: tuple[float, float, float, float] | None = None,
 ) -> DataFrame:
     """Labeled triangles → per-tile top-down class raster.
 
     emit_images=False → long rows (tile_x, tile_y, class_id, pixel_count);
     emit_images=True  → (tile_x, tile_y, data) uint8 tile images.
+
+    ``bounds`` = world (xmin, ymin, xmax, ymax) of the scene when known
+    (table stats / fixture constants): the tile-key domain is then derived
+    driver-side and the balanced exchange skips its group-enumeration
+    probe — an extra Spark action that would otherwise re-scan the full
+    exploded faces lineage before the real job (round-4 ADVICE).
     """
     from .balanced import grouped_apply_balanced
+
+    groups = tile_keys_for_bounds(grid, bounds) if bounds else None
 
     tiled = faces.withColumn("_t", F.explode(_tile_cover_cols(grid))) \
                  .withColumn("tile_x", F.col("_t.tx")) \
@@ -178,7 +203,8 @@ def rasterize_face_labels(
                 "tile_x": [key[0]], "tile_y": [key[1]],
                 "data": [img.tobytes()]})
         return grouped_apply_balanced(
-            tiled, ["tile_x", "tile_y"], agg_img, TILE_IMAGE_SCHEMA)
+            tiled, ["tile_x", "tile_y"], agg_img, TILE_IMAGE_SCHEMA,
+            groups=groups)
 
     def agg_counts(key: tuple, pdf: pd.DataFrame) -> pd.DataFrame:
         img = _rasterize_tile(pdf, grid, int(key[0]), int(key[1]))
@@ -189,7 +215,8 @@ def rasterize_face_labels(
             "class_id": vals.astype(np.int32),
             "pixel_count": counts.astype(np.int64)})
     return grouped_apply_balanced(
-        tiled, ["tile_x", "tile_y"], agg_counts, RASTERIZE_SCHEMA)
+        tiled, ["tile_x", "tile_y"], agg_counts, RASTERIZE_SCHEMA,
+        groups=groups)
 
 
 # ---------------------------------------------------------------------------

@@ -646,7 +646,15 @@ def render_label_images(
             "label_image": [lab.tobytes()],
         })
 
-    return cand.groupBy("camera_id").applyInPandas(agg, schema=schema)
+    # same compute-dense exchange as visibility_join: per-camera renders
+    # are ~1000x compute per byte, so AQE's byte-based coalescing would
+    # collapse the render stage to a handful of tasks (the rasterize_big
+    # scaling cap, round-4). Key domain = the broadcast camera dict.
+    from .balanced import grouped_apply_balanced
+
+    return grouped_apply_balanced(
+        cand, ["camera_id"], agg, schema,
+        groups=[(int(cid),) for cid in bc.value])
 
 
 def render_face_images(
@@ -673,4 +681,8 @@ def render_face_images(
             "face_image": [img.astype("<i8").tobytes()],
         })
 
-    return cand.groupBy("camera_id").applyInPandas(agg, schema=schema)
+    from .balanced import grouped_apply_balanced
+
+    return grouped_apply_balanced(
+        cand, ["camera_id"], agg, schema,
+        groups=[(int(cid),) for cid in bc.value])

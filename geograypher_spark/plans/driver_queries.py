@@ -1154,7 +1154,9 @@ def q_rasterize_scene(spark, sf_dir):
 
     faces, cams = AN.flat_mesh_spark(spark)
     grid = TL.TileGrid(AN.GRID_X0, AN.GRID_Y0, AN.GRID_GSD, AN.GRID_TILE_PX)
-    return TL.rasterize_face_labels(faces, grid)
+    return TL.rasterize_face_labels(
+        faces, grid,
+        bounds=(-AN.EXTENT, -AN.EXTENT, AN.EXTENT, AN.EXTENT))
 
 
 def q_forward_pipeline(spark, sf_dir):

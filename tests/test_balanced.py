@@ -79,6 +79,73 @@ class TestGroupedApplyBalanced:
                .toPandas().sort_values(["g", "h"]).reset_index(drop=True))
         pd.testing.assert_frame_equal(got, want)
 
+    def test_groups_undercoverage_not_dropped(self, spark):
+        """A caller-supplied groups list that under-covers the data must
+        route the unlisted keys to the fallback bucket, not silently drop
+        their rows (round-4 ADVICE contract guard)."""
+        df = _mkdf(spark, 10)
+        groups = [(g, g % 5) for g in range(5)]   # covers half the keys
+        got = (grouped_apply_balanced(df, ["g", "h"], _make_agg(), SCHEMA,
+                                      groups=groups)
+               .toPandas().sort_values("g").reset_index(drop=True))
+        assert got["g"].tolist() == list(range(10))
+        assert got["n"].tolist() == [7] * 10
+
+    def test_null_keys_processed(self, spark):
+        """Null-valued group keys are a real group (applyInPandas
+        semantics), not a join casualty."""
+        schema = T.StructType([
+            T.StructField("g", T.DoubleType()),
+            T.StructField("total", T.DoubleType()),
+            T.StructField("n", T.LongType())])
+        pdf = pd.DataFrame({"g": [1.0, 1.0, None, None, 2.0],
+                            "x": [1.0, 2.0, 4.0, 8.0, 16.0]})
+        df = spark.createDataFrame(pdf)
+
+        def agg(key, p):
+            return pd.DataFrame({
+                "g": [-1.0 if key[0] is None else float(key[0])],
+                "total": [float(p["x"].sum())], "n": [len(p)]})
+
+        got = (grouped_apply_balanced(df, ["g"], agg, schema)
+               .toPandas().sort_values("g").reset_index(drop=True))
+        assert got["g"].tolist() == [-1.0, 1.0, 2.0]
+        assert got["total"].tolist() == [12.0, 3.0, 16.0]
+
+    def test_fn_sees_original_column_order(self, spark):
+        """The frame handed to fn must carry df's column order — the
+        routing join moves key columns to the front internally, and a
+        position-dependent fn must not observe that (round-4 ADVICE)."""
+        df = _mkdf(spark, 6).select("x", "h", "g")   # keys NOT first
+        # fn runs executor-side: report the observed order via the output
+        out = grouped_apply_balanced(
+            df, ["g", "h"],
+            lambda key, p: pd.DataFrame(
+                {"g": [key[0]], "h": [key[1]], "total": [0.0],
+                 "n": [1 if list(p.columns) == ["x", "h", "g"] else 0]}),
+            SCHEMA).toPandas()
+        assert out["n"].tolist() == [1] * 6
+
+    def test_group_spanning_batch_boundary(self, spark):
+        """The streaming run-carver must reassemble a group whose rows
+        arrive split across Arrow batches."""
+        old = spark.conf.get("spark.sql.execution.arrow.maxRecordsPerBatch")
+        spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", "3")
+        try:
+            df = _mkdf(spark, 4, rows_per_group=50).coalesce(1)
+            _agg = _make_agg()
+            want = (df.groupBy("g", "h").applyInPandas(_agg, schema=SCHEMA)
+                    .toPandas().sort_values(["g", "h"])
+                    .reset_index(drop=True))
+            got = (grouped_apply_balanced(df, ["g", "h"], _agg, SCHEMA,
+                                          partitions=2)
+                   .toPandas().sort_values(["g", "h"])
+                   .reset_index(drop=True))
+            pd.testing.assert_frame_equal(got, want)
+        finally:
+            spark.conf.set(
+                "spark.sql.execution.arrow.maxRecordsPerBatch", old)
+
     def test_empty_input(self, spark):
         df = _mkdf(spark, 3).filter("g > 100")
         out = grouped_apply_balanced(df, ["g", "h"], _make_agg(), SCHEMA)

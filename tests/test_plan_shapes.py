@@ -69,18 +69,40 @@ def test_rasterize_single_shuffle(spark, queries):
 
 
 def test_render_labels_plan_sane(spark, queries):
-    """The reverse pipeline must stay cartesian-free, and its class
-    gather must happen inside the camera render groups — i.e. no second
-    camera-keyed exchange after the render. (The face→class join shows as
-    a broadcast at this fixture scale — a size-based choice that reverts
-    to a shuffle join automatically once the faces side exceeds the
-    broadcast threshold; don't assert the join strategy here.)"""
+    """The reverse pipeline must stay cartesian-free, its render stage
+    must go through the BALANCED exchange (repartition on the synthetic
+    _gb bucket key — a user repartition AQE cannot byte-coalesce; a plain
+    camera_id exchange here would reintroduce the round-4 coalescing cap
+    that made render_labels the slowest headline query), and the class
+    gather must happen inside the render groups — no second camera-keyed
+    exchange after the render. (The face→class join shows as a broadcast
+    at this fixture scale — a size-based choice; don't assert it.)"""
     plan = _plan(queries["render_labels"](spark, SF_DIR))
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
-    n_cam_exchanges = len(re.findall(
-        r"Exchange hashpartitioning\(camera_id", plan))
-    assert n_cam_exchanges == 1, plan[:2000]
+    assert len(re.findall(r"Exchange hashpartitioning\(_gb", plan)) == 1, \
+        plan[:2000]
+    assert not re.search(r"Exchange hashpartitioning\(camera_id", plan), \
+        plan[:2000]
+
+
+def test_simhash_no_dedup_exchange(spark):
+    """simhash_near_pairs attributes each pair to its FIRST matching
+    block (round-4): reintroducing a dropDuplicates over (id_a, id_b)
+    would add a pair-keyed exchange over the full candidate set — the
+    exact shuffle the first-match rewrite removed (round-3 done
+    criterion, guard added r5)."""
+    from geograypher_spark.operators import dedup as DD
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    pairs = DD.simhash_near_pairs(DD.simhash(docs))
+    analyzed = pairs._jdf.queryExecution().analyzed().toString()
+    # the shingle-distinct Deduplicate upstream is fine — the guard is
+    # against a PAIR-keyed dropDuplicates over the candidate set
+    assert not re.search(r"Deduplicate \[[^\]]*id_a", analyzed)
+    plan = _plan(pairs)
+    assert not re.search(r"Exchange hashpartitioning\(id_a", plan), \
+        plan[:2000]
 
 
 def test_jaccard_single_shingle_construction(spark, queries):
