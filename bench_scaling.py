@@ -6,13 +6,19 @@ input, checks the sorted outputs are identical, and reports throughput at
 both plus scaling efficiency = (throughput_4N / throughput_N) / 4.
 Writes BENCH/BASELINE.md.
 
-Estimator (round-3 ADVICE): each invocation measures BOTH levels
-back-to-back under the same host state and records them as one PAIRED
-run. The headline efficiency is the MEDIAN of per-run efficiencies —
-a ratio some single run actually produced — never a composite of a fast
-numerator from one run and a slow denominator from another. Raw per-run
-timings are kept in BENCH/scaling_*.json so the estimate sharpens as
-runs accumulate.
+Estimator (round-3 ADVICE, tightened round 5): each invocation measures
+both levels under the same host state and records them as one PAIRED
+run. Pairing is PER QUERY — each query runs its local[N] leg and its
+local[4N] leg back-to-back in adjacent fresh JVMs (minutes apart) —
+because this shared-host VM's per-core throughput was measured swinging
+~40% on ~20-minute timescales (identical code, identical pinning, task
+CPU-seconds themselves inflating), so a whole-workload N leg followed by
+a whole-workload 4N leg straddles different host states and turns that
+drift into ratio noise. The headline efficiency is the MEDIAN of
+per-run efficiencies — a ratio some single run actually produced —
+never a composite of a fast numerator from one run and a slow
+denominator from another. Raw per-run timings are kept in
+BENCH/scaling_*.json so the estimate sharpens as runs accumulate.
 
 Usage: python bench_scaling.py [--n 8] [--sf-dir /root/testdata/sf0.1]
 """
@@ -35,6 +41,10 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 WORKLOAD = ["visibility_big", "ann_bruteforce", "pip_wide",
             "ray_edges_dense", "rasterize_big"]
 
+# bump when the pairing/estimator changes: records from an older protocol
+# generation are not merged with new ones (the old files stay in git)
+PROTOCOL = "per-query-paired-v2"
+
 # which ceiling kind (bench_ceiling.py) each query's kernel class pays:
 # render kernels are bandwidth-bound (stream/scatter), the rest compute
 QUERY_CEILING_KIND = {
@@ -44,9 +54,10 @@ QUERY_CEILING_KIND = {
 }
 
 
-def run_once(sf_dir: str, cpus: int) -> dict:
-    """One process per parallelism level (fresh JVM) via a subprocess so the
-    two runs don't share a SparkContext."""
+def run_once(sf_dir: str, cpus: int, workload: list[str] | None = None) -> dict:
+    """One fresh-JVM subprocess measuring ``workload`` (default: all
+    WORKLOAD queries) at ``cpus`` pinned cores."""
+    workload = workload or WORKLOAD
     code = f"""
 import json, sys, time, hashlib
 sys.path.insert(0, {os.path.dirname(os.path.abspath(__file__))!r})
@@ -64,7 +75,7 @@ spark.range(10_000_000).repartition({cpus}).mapInPandas(
 ).count()
 out = {{}}
 hashes = {{}}
-for name in {WORKLOAD!r}:
+for name in {workload!r}:
     # build the plan (driver-side fixture gen / Arrow conversion) OUTSIDE
     # the timer — that cost is serial setup, not engine execution; then
     # run twice and time the steady-state pass (workers warm, code JIT'd)
@@ -180,24 +191,28 @@ def _write_report() -> None:
         "",
         "Workload (compute-dominated, `plans/scale_queries.py`): "
         + ", ".join(WORKLOAD) + " — identical input, identical sorted "
-        "outputs verified by sha256 at every parallelism level. Each run "
-        "taskset-pinned to its core count, fresh JVM per level, "
+        "outputs verified by sha256 at every parallelism level. Each leg "
+        "taskset-pinned to its core count, fresh JVM per (query, level), "
         "single-threaded BLAS in workers, python workers pre-warmed, plans "
-        "rebuilt per trial (no shuffle reuse), min of 3 trials per level "
-        "within a run. Sized so kernel time dominates the session floor "
+        "rebuilt per trial (no shuffle reuse), min of 3 trials per leg; "
+        "a query's N and 4N legs run back-to-back so both sample the same "
+        "host state. Sized so kernel time dominates the session floor "
         "(round-1 ran two of these at ~5 s and measured the scheduler, "
         "not the operator).",
         "",
         "ESTIMATOR + NOISE DISCLOSURE: this box is a shared-host VM whose "
-        "per-core performance swings ±15-20% BETWEEN runs at high core "
-        "counts (identical code, identical pinning). Both levels of a run "
-        "are therefore measured back-to-back under the same host state, "
-        "and the HEADLINE efficiency is the MEDIAN of per-run paired "
-        "efficiencies — every reported ratio is one a single run actually "
-        "produced (round-3 ADVICE replaced the earlier cross-run min-merge "
-        "composite, whose numerator and denominator could come from "
-        "different runs). All per-run raw timings are recorded in "
-        "BENCH/scaling_*.json. The hardware ceiling (bench_ceiling.py, "
+        "per-core throughput was measured swinging ~40% on ~20-minute "
+        "timescales (identical code, identical pinning — task CPU-seconds "
+        "themselves inflate, i.e. frequency/steal, not scheduling). Each "
+        "query's N and 4N legs therefore run back-to-back in adjacent "
+        "JVMs (minutes apart) so both legs of every ratio sample the same "
+        "host state — a whole-workload leg order would straddle the drift "
+        "and turn it into ratio noise — and the HEADLINE efficiency is the "
+        "MEDIAN of per-run paired efficiencies, every reported ratio one a "
+        "single run actually produced (round-3 ADVICE replaced the earlier "
+        "cross-run min-merge composite, whose numerator and denominator "
+        "could come from different runs). All per-run raw timings are "
+        "recorded in BENCH/scaling_*.json. The hardware ceiling (bench_ceiling.py, "
         "same pinning, raw numpy multiprocessing) is probed per KERNEL "
         "CLASS — compute (matmul), stream (triad bandwidth), scatter "
         "(z-buffer-style gather/scatter) — because a matmul-only ceiling "
@@ -281,25 +296,35 @@ def main() -> None:
     args = ap.parse_args()
     n, n4 = args.n, args.n * 4
 
-    lo = run_once(args.sf_dir, n)
-    hi = run_once(args.sf_dir, n4)
-
-    assert lo["hashes"] == hi["hashes"], (
-        "outputs differ between parallelism levels: "
-        + str({k: (lo["hashes"][k], hi["hashes"][k])
-               for k in lo["hashes"] if lo["hashes"][k] != hi["hashes"][k]}))
+    # per-query pairing: each query's two legs run back-to-back in
+    # adjacent JVMs so they sample the same host state (see module doc)
+    lo_t: dict[str, float] = {}
+    hi_t: dict[str, float] = {}
+    for q in WORKLOAD:
+        lo = run_once(args.sf_dir, n, [q])
+        hi = run_once(args.sf_dir, n4, [q])
+        assert lo["hashes"] == hi["hashes"], (
+            f"outputs differ between parallelism levels for {q}: "
+            + str((lo["hashes"], hi["hashes"])))
+        lo_t[q] = lo["timings"][q]
+        hi_t[q] = hi["timings"][q]
+        print(json.dumps({"query": q, "t_lo": round(lo_t[q], 2),
+                          "t_hi": round(hi_t[q], 2),
+                          "eff": round(lo_t[q] / hi_t[q] / 4, 3)}),
+              flush=True)
 
     path = f"BENCH/scaling_{n}v{n4}.json"
-    rec = {"n": n, "n4": n4, "runs": []}
+    rec = {"n": n, "n4": n4, "protocol": PROTOCOL, "runs": []}
     if os.path.exists(path):
         with open(path) as fh:
             old = json.load(fh)
-        # paired-run history only; pre-rework min-merged records (and any
-        # record whose query set no longer matches the workload) reset
-        if "runs" in old and all(
-                set(r["lo"]) == set(lo["timings"]) for r in old["runs"]):
+        # paired-run history only, same protocol generation; older
+        # records (different estimator or query set) reset — history
+        # stays readable in git
+        if (old.get("protocol") == PROTOCOL and "runs" in old and all(
+                set(r["lo"]) == set(lo_t) for r in old["runs"])):
             rec = old
-    rec["runs"].append({"lo": lo["timings"], "hi": hi["timings"]})
+    rec["runs"].append({"lo": lo_t, "hi": hi_t})
 
     os.makedirs("BENCH", exist_ok=True)
     with open(path, "w") as fh:
@@ -307,8 +332,8 @@ def main() -> None:
     _write_report()
     st = _pair_stats(rec["runs"])
     print(json.dumps({
-        "t_low": round(sum(lo["timings"].values()), 2),
-        "t_high": round(sum(hi["timings"].values()), 2),
+        "t_low": round(sum(lo_t.values()), 2),
+        "t_high": round(sum(hi_t.values()), 2),
         "efficiency_this_run": st["eff_runs"][-1],
         "efficiency_median": st["eff_median"],
         "n": n, "n4": n4, "n_runs": len(rec["runs"])}))
