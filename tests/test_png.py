@@ -89,6 +89,130 @@ class TestFilters:
         assert np.array_equal(out, img[:, :, 0])
 
 
+def _pack_samples(row: np.ndarray, depth: int) -> bytes:
+    """(n,) sample values → packed scanline bytes (MSB-first, padded)."""
+    if depth == 8:
+        return bytes(row.astype(np.uint8))
+    if depth == 16:
+        return row.astype(">u2").tobytes()
+    bits = ((row[:, None].astype(np.uint8)
+             >> np.arange(depth - 1, -1, -1)) & 1).reshape(-1)
+    return np.packbits(bits).tobytes()
+
+
+def _forward_filter(cur: list[int], prev: list[int], f: int,
+                    bpp: int) -> bytes:
+    out = bytearray(len(cur))
+    for x in range(len(cur)):
+        a = cur[x - bpp] if x >= bpp else 0
+        b = prev[x]
+        c = prev[x - bpp] if x >= bpp else 0
+        if f == 0:
+            p = 0
+        elif f == 1:
+            p = a
+        elif f == 2:
+            p = b
+        elif f == 3:
+            p = (a + b) >> 1
+        else:
+            p = PNG._paeth(a, b, c)
+        out[x] = (cur[x] - p) & 0xFF
+    return bytes(out)
+
+
+_ADAM7 = ((0, 0, 8, 8), (4, 0, 8, 8), (0, 4, 4, 8), (2, 0, 4, 4),
+          (0, 2, 2, 4), (1, 0, 2, 2), (0, 1, 1, 2))
+
+
+def _build_png_general(img: np.ndarray, depth: int, color: int,
+                       filters: list[int], interlace: int = 0,
+                       plte: np.ndarray | None = None) -> bytes:
+    """Spec-side builder: samples (h, w, ch) → PNG bytes at any depth /
+    color type / interlace, forward-filtering each scanline at the BYTE
+    level with the requested filter (cycled per row)."""
+    h, w, ch = img.shape
+    bpp = max(1, ch * depth // 8)
+    body = bytearray()
+    fi = 0
+
+    def emit(sub: np.ndarray) -> None:
+        nonlocal fi
+        ph, pw, _ = sub.shape
+        prev = [0] * len(_pack_samples(sub[0].reshape(-1), depth))
+        for y in range(ph):
+            cur = list(_pack_samples(sub[y].reshape(-1), depth))
+            f = filters[fi % len(filters)]
+            fi += 1
+            body.append(f)
+            body.extend(_forward_filter(cur, prev, f, bpp))
+            prev = cur
+
+    if interlace == 0:
+        emit(img)
+    else:
+        for x0, y0, dx, dy in _ADAM7:
+            sub = img[y0::dy, x0::dx]
+            if sub.shape[0] and sub.shape[1]:
+                emit(sub)
+    ihdr = struct.pack(">IIBBBBB", w, h, depth, color, 0, 0, interlace)
+    out = b"\x89PNG\r\n\x1a\n" + PNG._chunk(b"IHDR", ihdr)
+    if plte is not None:
+        out += PNG._chunk(b"PLTE", plte.astype(np.uint8).tobytes())
+    return (out + PNG._chunk(b"IDAT", zlib.compress(bytes(body)))
+            + PNG._chunk(b"IEND", b""))
+
+
+class TestDepthsAndInterlace:
+    @pytest.mark.parametrize("ch,color", [(1, 0), (3, 2), (4, 6)])
+    @pytest.mark.parametrize("filters", [[0, 2, 1], [4], [3, 4]])
+    def test_16bit(self, ch, color, filters):
+        rng = np.random.default_rng(ch * 10 + len(filters))
+        img = rng.integers(0, 1 << 16, size=(9, 7, ch)).astype(np.uint16)
+        out = PNG.decode_png(_build_png_general(img, 16, color, filters))
+        assert out.dtype == np.uint16
+        assert np.array_equal(out, img[:, :, 0] if ch == 1 else img)
+
+    @pytest.mark.parametrize("depth", [1, 2, 4])
+    def test_subbyte_gray(self, depth):
+        rng = np.random.default_rng(depth)
+        img = rng.integers(0, 1 << depth, size=(6, 11, 1)).astype(np.uint8)
+        out = PNG.decode_png(_build_png_general(img, depth, 0, [0, 2]))
+        assert np.array_equal(out, img[:, :, 0])
+
+    def test_subbyte_palette(self):
+        rng = np.random.default_rng(5)
+        plte = rng.integers(0, 256, size=(16, 3)).astype(np.uint8)
+        idx = rng.integers(0, 16, size=(7, 9, 1)).astype(np.uint8)
+        out = PNG.decode_png(
+            _build_png_general(idx, 4, 3, [0], plte=plte))
+        assert np.array_equal(out, plte[idx[:, :, 0]])
+
+    @pytest.mark.parametrize("shape,depth,color", [
+        ((13, 11, 3), 8, 2),      # RGB8, dims not multiples of 8
+        ((16, 16, 1), 8, 0),      # gray8, exact multiple
+        ((9, 5, 4), 8, 6),        # RGBA8, small odd dims
+        ((10, 7, 1), 16, 0),      # gray16
+        ((3, 2, 3), 8, 2),        # tiny: several Adam7 passes empty
+    ])
+    def test_adam7(self, shape, depth, color):
+        rng = np.random.default_rng(sum(shape))
+        img = rng.integers(0, 1 << depth, size=shape).astype(
+            np.uint16 if depth == 16 else np.uint8)
+        data = _build_png_general(img, depth, color,
+                                  [0, 1, 2, 3, 4], interlace=1)
+        out = PNG.decode_png(data)
+        assert np.array_equal(out, img[:, :, 0] if shape[2] == 1 else img)
+
+    def test_illegal_depth_combo_raises(self):
+        ihdr = struct.pack(">IIBBBBB", 4, 4, 4, 2, 0, 0, 0)  # RGB @ 4-bit
+        data = (b"\x89PNG\r\n\x1a\n" + PNG._chunk(b"IHDR", ihdr)
+                + PNG._chunk(b"IDAT", zlib.compress(b"\x00" * 40))
+                + PNG._chunk(b"IEND", b""))
+        with pytest.raises(ValueError):
+            PNG.decode_png(data)
+
+
 class TestPalette:
     def test_palette_expands_to_rgb(self):
         plte = _rand_img((5, 3), seed=2)           # 5-color palette
@@ -112,11 +236,16 @@ class TestDecodeImageIntegration:
         out = decode_image(PNG.encode_png(img))
         assert np.array_equal(out, img)
 
-    def test_non_png_still_raises(self):
+    def test_non_image_still_raises(self):
         from geograypher_spark.operators.multimodal import decode_image
 
-        with pytest.raises(NotImplementedError):
+        # JPEG magic now reaches the REAL decoder, which rejects the
+        # malformed stream on its own terms
+        with pytest.raises(ValueError):
             decode_image(b"\xff\xd8\xff\xe0 fake jpeg")
+        # formats with no native codec still say so explicitly
+        with pytest.raises(NotImplementedError):
+            decode_image(b"RIFF....WAVEfmt not an image")
 
     def test_image_features_on_real_png(self, spark):
         from geograypher_spark.operators import multimodal as MM
