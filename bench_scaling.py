@@ -43,7 +43,11 @@ WORKLOAD = ["visibility_big", "ann_bruteforce", "pip_wide",
 
 # bump when the pairing/estimator changes: records from an older protocol
 # generation are not merged with new ones (the old files stay in git)
-PROTOCOL = "per-query-paired-v2"
+# v3: timed action = full execution into a noop sink (engine-only);
+# output-equality sha comes from the untimed warm-up collection. toPandas
+# is single-threaded driver Arrow work — a constant at both levels that
+# depressed every big-output query's measured efficiency in v2.
+PROTOCOL = "per-query-paired-v3-noop"
 
 # which ceiling kind (bench_ceiling.py) each query's kernel class pays:
 # render kernels are bandwidth-bound (stream/scatter), the rest compute
@@ -76,18 +80,21 @@ spark.range(10_000_000).repartition({cpus}).mapInPandas(
 out = {{}}
 hashes = {{}}
 for name in {workload!r}:
-    # build the plan (driver-side fixture gen / Arrow conversion) OUTSIDE
-    # the timer — that cost is serial setup, not engine execution; then
-    # run twice and time the steady-state pass (workers warm, code JIT'd)
-    # warm-up run (workers, codegen), NOT timed
-    SCALE_QUERIES[name](spark, {sf_dir!r}).count()
+    # warm-up pass (python workers, codegen JIT) doubles as the output
+    # collection for the cross-level sha check — collection is UNTIMED:
+    # toPandas is single-threaded driver-side Arrow work, identical at
+    # both parallelism levels (measured ~3.5 s on visibility_big's 3M
+    # rows), i.e. an Amdahl term of the measurement harness, not the
+    # engine. A production run writes to a distributed sink; the timed
+    # trials below therefore execute the full plan into a noop sink.
+    pdf = SCALE_QUERIES[name](spark, {sf_dir!r}).toPandas()
     best = None
     for _ in range(3):
         # rebuild the plan each trial: re-running one DF instance would
         # reuse its shuffle files (stage skipping) and time nothing
         df = SCALE_QUERIES[name](spark, {sf_dir!r})
         t0 = time.time()
-        pdf = df.toPandas()
+        df.write.format("noop").mode("overwrite").save()
         dt = time.time() - t0
         best = dt if best is None else min(best, dt)
     out[name] = best
@@ -196,9 +203,14 @@ def _write_report() -> None:
         "single-threaded BLAS in workers, python workers pre-warmed, plans "
         "rebuilt per trial (no shuffle reuse), min of 3 trials per leg; "
         "a query's N and 4N legs run back-to-back so both sample the same "
-        "host state. Sized so kernel time dominates the session floor "
-        "(round-1 ran two of these at ~5 s and measured the scheduler, "
-        "not the operator).",
+        "host state. Timed trials execute the full plan into a `noop` "
+        "sink (engine execution only); the cross-level output sha comes "
+        "from an untimed collection — toPandas is single-threaded driver "
+        "Arrow work, identical at both levels (~3.5 s on visibility_big's "
+        "3M rows), a harness Amdahl term, not the engine; a production "
+        "run writes to a distributed sink. Sized so kernel time dominates "
+        "the session floor (round-1 ran two of these at ~5 s and "
+        "measured the scheduler, not the operator).",
         "",
         "ESTIMATOR + NOISE DISCLOSURE: this box is a shared-host VM whose "
         "per-core throughput was measured swinging ~40% on ~20-minute "
