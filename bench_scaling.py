@@ -47,7 +47,16 @@ WORKLOAD = ["visibility_big", "ann_bruteforce", "pip_wide",
 # output-equality sha comes from the untimed warm-up collection. toPandas
 # is single-threaded driver Arrow work — a constant at both levels that
 # depressed every big-output query's measured efficiency in v2.
-PROTOCOL = "per-query-paired-v3-noop"
+# v4: ABBA leg order per query — lo,hi,hi,lo in four adjacent JVMs, each
+# level's timing the min over its two JVMs. v3 ran lo,hi once per query;
+# with 2-6 min legs the host's ~40%/20-min throughput drift lands inside
+# the pair and becomes ratio noise (measured: the same engine code drew
+# per-query efficiencies 0.61 and 0.88 hours apart while the raw
+# multiprocessing ceiling probe — whose levels interleave in seconds —
+# stayed pinned at 0.877/0.927). ABBA gives both levels symmetric
+# exposure to the drift; min-over-two-JVMs picks each level's best
+# sampled host state, both inside one ~10-minute window.
+PROTOCOL = "per-query-paired-v4-abba"
 
 # which ceiling kind (bench_ceiling.py) each query's kernel class pays:
 # render kernels are bandwidth-bound (stream/scatter), the rest compute
@@ -58,9 +67,14 @@ QUERY_CEILING_KIND = {
 }
 
 
-def run_once(sf_dir: str, cpus: int, workload: list[str] | None = None) -> dict:
+def run_once(sf_dir: str, cpus: int, workload: list[str] | None = None,
+             collect_sha: bool = True, trials: int = 2) -> dict:
     """One fresh-JVM subprocess measuring ``workload`` (default: all
-    WORKLOAD queries) at ``cpus`` pinned cores."""
+    WORKLOAD queries) at ``cpus`` pinned cores. ``collect_sha=False``
+    replaces the untimed toPandas warm-up with an untimed noop-sink
+    execution (same codegen/worker warm-up, no driver-side Arrow) — used
+    by the second JVM of each ABBA level, whose sha the first already
+    recorded."""
     workload = workload or WORKLOAD
     code = f"""
 import json, sys, time, hashlib
@@ -80,16 +94,28 @@ spark.range(10_000_000).repartition({cpus}).mapInPandas(
 out = {{}}
 hashes = {{}}
 for name in {workload!r}:
-    # warm-up pass (python workers, codegen JIT) doubles as the output
-    # collection for the cross-level sha check — collection is UNTIMED:
-    # toPandas is single-threaded driver-side Arrow work, identical at
-    # both parallelism levels (measured ~3.5 s on visibility_big's 3M
-    # rows), i.e. an Amdahl term of the measurement harness, not the
-    # engine. A production run writes to a distributed sink; the timed
-    # trials below therefore execute the full plan into a noop sink.
-    pdf = SCALE_QUERIES[name](spark, {sf_dir!r}).toPandas()
+    # warm-up pass (python workers, codegen JIT), UNTIMED. When
+    # collect_sha: it doubles as the output collection for the
+    # cross-level sha check — toPandas is single-threaded driver-side
+    # Arrow work, identical at both parallelism levels (measured ~3.5 s
+    # on visibility_big's 3M rows), i.e. an Amdahl term of the
+    # measurement harness, not the engine. A production run writes to a
+    # distributed sink; the timed trials below therefore execute the
+    # full plan into a noop sink.
+    if {collect_sha!r}:
+        pdf = SCALE_QUERIES[name](spark, {sf_dir!r}).toPandas()
+        pdf = pdf[sorted(pdf.columns)]
+        for c in pdf.columns:
+            if pdf[c].dtype == object and len(pdf) and isinstance(pdf[c].iloc[0], (bytes, bytearray)):
+                pdf[c] = pdf[c].apply(lambda b: bytes(b).hex())
+        pdf = pdf.sort_values(list(pdf.columns)).reset_index(drop=True)
+        hashes[name] = hashlib.sha256(
+            pdf.to_csv(index=False, float_format="%.12g").encode()).hexdigest()
+    else:
+        SCALE_QUERIES[name](spark, {sf_dir!r}).write.format(
+            "noop").mode("overwrite").save()
     best = None
-    for _ in range(3):
+    for _ in range({trials}):
         # rebuild the plan each trial: re-running one DF instance would
         # reuse its shuffle files (stage skipping) and time nothing
         df = SCALE_QUERIES[name](spark, {sf_dir!r})
@@ -98,13 +124,6 @@ for name in {workload!r}:
         dt = time.time() - t0
         best = dt if best is None else min(best, dt)
     out[name] = best
-    pdf = pdf[sorted(pdf.columns)]
-    for c in pdf.columns:
-        if pdf[c].dtype == object and len(pdf) and isinstance(pdf[c].iloc[0], (bytes, bytearray)):
-            pdf[c] = pdf[c].apply(lambda b: bytes(b).hex())
-    pdf = pdf.sort_values(list(pdf.columns)).reset_index(drop=True)
-    hashes[name] = hashlib.sha256(
-        pdf.to_csv(index=False, float_format="%.12g").encode()).hexdigest()
 spark.stop()
 print("RESULT " + json.dumps({{"timings": out, "hashes": hashes}}))
 """
@@ -199,11 +218,14 @@ def _write_report() -> None:
         "Workload (compute-dominated, `plans/scale_queries.py`): "
         + ", ".join(WORKLOAD) + " — identical input, identical sorted "
         "outputs verified by sha256 at every parallelism level. Each leg "
-        "taskset-pinned to its core count, fresh JVM per (query, level), "
+        "taskset-pinned to its core count, fresh JVM per leg, "
         "single-threaded BLAS in workers, python workers pre-warmed, plans "
-        "rebuilt per trial (no shuffle reuse), min of 3 trials per leg; "
-        "a query's N and 4N legs run back-to-back so both sample the same "
-        "host state. Timed trials execute the full plan into a `noop` "
+        "rebuilt per trial (no shuffle reuse); a query's legs run in ABBA "
+        "order — N, 4N, 4N, N in four adjacent JVMs — and each level's "
+        "timing is the min over its two JVMs (2 timed trials each), so "
+        "both levels sample the same ~10-minute host window with "
+        "symmetric exposure to drift. Timed trials execute the full plan "
+        "into a `noop` "
         "sink (engine execution only); the cross-level output sha comes "
         "from an untimed collection — toPandas is single-threaded driver "
         "Arrow work, identical at both levels (~3.5 s on visibility_big's "
@@ -216,10 +238,14 @@ def _write_report() -> None:
         "per-core throughput was measured swinging ~40% on ~20-minute "
         "timescales (identical code, identical pinning — task CPU-seconds "
         "themselves inflate, i.e. frequency/steal, not scheduling). Each "
-        "query's N and 4N legs therefore run back-to-back in adjacent "
-        "JVMs (minutes apart) so both legs of every ratio sample the same "
-        "host state — a whole-workload leg order would straddle the drift "
-        "and turn it into ratio noise — and the HEADLINE efficiency is the "
+        "query's legs therefore run ABBA (N, 4N, 4N, N) in four adjacent "
+        "JVMs so both levels of every ratio get symmetric exposure to the "
+        "drift inside one short window — a whole-workload leg order, or "
+        "even a single lo→hi pair with 2-6 minute legs, straddles the "
+        "drift and turns it into ratio noise (measured: the same engine "
+        "code drew 0.61 and 0.88 on one query hours apart while the "
+        "raw-numpy ceiling probe stayed pinned) — and the HEADLINE "
+        "efficiency is the "
         "MEDIAN of per-run paired efficiencies, every reported ratio one a "
         "single run actually produced (round-3 ADVICE replaced the earlier "
         "cross-run min-merge composite, whose numerator and denominator "
@@ -308,21 +334,31 @@ def main() -> None:
     args = ap.parse_args()
     n, n4 = args.n, args.n * 4
 
-    # per-query pairing: each query's two legs run back-to-back in
-    # adjacent JVMs so they sample the same host state (see module doc)
+    # per-query ABBA pairing: legs lo,hi,hi,lo in four adjacent JVMs so
+    # both levels get symmetric exposure to host-throughput drift inside
+    # one ~10-minute window; each level's timing = min over its two JVMs
+    # (see module doc, protocol v4)
     lo_t: dict[str, float] = {}
     hi_t: dict[str, float] = {}
+    raw: dict[str, dict[str, float]] = {}
     for q in WORKLOAD:
-        lo = run_once(args.sf_dir, n, [q])
-        hi = run_once(args.sf_dir, n4, [q])
-        assert lo["hashes"] == hi["hashes"], (
+        lo1 = run_once(args.sf_dir, n, [q], collect_sha=True)
+        hi1 = run_once(args.sf_dir, n4, [q], collect_sha=True)
+        assert lo1["hashes"] == hi1["hashes"], (
             f"outputs differ between parallelism levels for {q}: "
-            + str((lo["hashes"], hi["hashes"])))
-        lo_t[q] = lo["timings"][q]
-        hi_t[q] = hi["timings"][q]
+            + str((lo1["hashes"], hi1["hashes"])))
+        hi2 = run_once(args.sf_dir, n4, [q], collect_sha=False)
+        lo2 = run_once(args.sf_dir, n, [q], collect_sha=False)
+        lo_t[q] = min(lo1["timings"][q], lo2["timings"][q])
+        hi_t[q] = min(hi1["timings"][q], hi2["timings"][q])
+        raw[q] = {"lo1": round(lo1["timings"][q], 2),
+                  "hi1": round(hi1["timings"][q], 2),
+                  "hi2": round(hi2["timings"][q], 2),
+                  "lo2": round(lo2["timings"][q], 2)}
         print(json.dumps({"query": q, "t_lo": round(lo_t[q], 2),
                           "t_hi": round(hi_t[q], 2),
-                          "eff": round(lo_t[q] / hi_t[q] / 4, 3)}),
+                          "eff": round(lo_t[q] / hi_t[q] / 4, 3),
+                          "legs": raw[q]}),
               flush=True)
 
     path = f"BENCH/scaling_{n}v{n4}.json"
@@ -336,7 +372,7 @@ def main() -> None:
         if (old.get("protocol") == PROTOCOL and "runs" in old and all(
                 set(r["lo"]) == set(lo_t) for r in old["runs"])):
             rec = old
-    rec["runs"].append({"lo": lo_t, "hi": hi_t})
+    rec["runs"].append({"lo": lo_t, "hi": hi_t, "legs": raw})
 
     os.makedirs("BENCH", exist_ok=True)
     with open(path, "w") as fh:
