@@ -53,14 +53,24 @@ def _segment_cover_cells(
     iy0 = F.floor(ymin / s).cast("long"); iy1 = F.floor(ymax / s).cast("long")
     offset = F.lit(1 << 28).cast("long")
     res_bits = F.lit(int(res)).cast("long")
-    cells = F.flatten(F.transform(
-        F.sequence(ix0, ix1),
-        lambda ix: F.transform(
-            F.sequence(iy0, iy1),
-            lambda iy: F.shiftleft(res_bits, 58)
+    # arithmetic explode: generate ONE flat index sequence per row and
+    # derive (ix, iy) row-major from it, instead of materializing a
+    # nested array-of-arrays through transform+flatten — the nested form
+    # allocates a GenericArrayData per x-column plus closures per
+    # element, and this explode feeds the workload's widest shuffle (the
+    # candidate-join cover), where allocation garbage inflates the
+    # stage's CPU under high core counts. Same cells, same row-major
+    # order (ix outer, iy inner).
+    ny = iy1 - iy0 + 1
+    k = F.explode(F.sequence(
+        F.lit(0).cast("long"), (ix1 - ix0 + 1) * ny - 1))
+    df = df.withColumn("_k", k)
+    ix = ix0 + F.floor(F.col("_k") / ny).cast("long")
+    iy = iy0 + F.col("_k") % ny
+    cell = (F.shiftleft(res_bits, 58)
             .bitwiseOR(F.shiftleft(ix + offset, 29))
-            .bitwiseOR(iy + offset))))
-    return df.withColumn(out, F.explode(cells))
+            .bitwiseOR(iy + offset))
+    return df.withColumn(out, cell).drop("_k")
 
 
 def _pair_distance_udf():
