@@ -151,6 +151,180 @@ def with_seg_dist(df: DataFrame, out: str = "dist") -> DataFrame:
     return df.drop("_aa", "_ee", "_ff", "_cc", "_bb", "_s0", "_traw", "_t", "_s")
 
 
+def _pair_dist_exact(a0, a1, b0, b1):
+    """Segment-pair distance with the EXACT floating-op order of the
+    staged JVM kernel (``with_seg_dist``): same Eberly staging, same
+    left-associated dot products, same clamp order — bit-identical
+    float64 outputs, so the cell-grouped and join execution paths of
+    ``ray_proximity_edges`` hash-match each other and the DuckDB oracle.
+    (``camera.segment_pair_closest`` is the same algebra but sums dots
+    via einsum, whose association is an implementation detail.)"""
+    d1 = a1 - a0
+    d2 = b1 - b0
+    r = a0 - b0
+
+    def dot(u, v):
+        return u[:, 0] * v[:, 0] + u[:, 1] * v[:, 1] + u[:, 2] * v[:, 2]
+
+    aa = dot(d1, d1); ee = dot(d2, d2); ff = dot(d2, r)
+    cc = dot(d1, r); bb = dot(d1, d2)
+    denom = aa * ee - bb * bb
+    with np.errstate(divide="ignore", invalid="ignore"):
+        s0 = np.where(denom > 1e-14 * aa * ee + 1e-300,
+                      (bb * ff - cc * ee) / np.where(denom == 0, 1.0, denom),
+                      0.0)
+    s0 = np.minimum(1.0, np.maximum(0.0, s0))
+    with np.errstate(divide="ignore", invalid="ignore"):
+        traw = np.where(ee > 0,
+                        (bb * s0 + ff) / np.where(ee == 0, 1.0, ee), 0.0)
+    t = np.minimum(1.0, np.maximum(0.0, traw))
+    with np.errstate(divide="ignore", invalid="ignore"):
+        s2 = np.where(aa > 0,
+                      (t * bb - cc) / np.where(aa == 0, 1.0, aa), 0.0)
+    s2 = np.minimum(1.0, np.maximum(0.0, s2))
+    s = np.where(traw != t, s2, s0)
+    pa = a0 + d1 * s[:, None]
+    pb = b0 + d2 * t[:, None]
+    diff = pa - pb
+    return np.sqrt(dot(diff, diff))
+
+
+# i-rows per pair-mask chunk inside one cell: bounds the (chunk, n) bool
+# mask and the gathered pair coordinate blocks to cache size even for a
+# pathologically hot cell (n² pairs stream through in bounded slabs)
+_PAIR_CHUNK = 1 << 21
+
+
+def _cell_grouped_edges(
+    rays: DataFrame, tau: float, res: int, min_dist: float,
+    cross_camera_only: bool, cell_partitions: int,
+) -> DataFrame:
+    """Cell-grouped pair enumeration (see ray_proximity_edges): ONE
+    dilated-cover shuffle, then per-cell vectorized numpy pair masks +
+    the exact-order Eberly kernel inside mapInPandas. Candidate pairs
+    never exist outside cache-resident numpy temporaries — no second
+    cover shuffle, no two-sided merge-join sort, no O(pairs) row stream
+    through codegen."""
+    cov = _segment_cover_cells(
+        rays.select("ray_id", "camera_id", *RAY_COLS), res, dilate=tau)
+    part = (cov.repartition(cell_partitions, "cell")
+               .sortWithinPartitions("cell"))
+    s_val = float(C.cell_size(res))
+    off = 1 << 28
+    mask29 = (1 << 29) - 1
+    cols = ["cell", "ray_id", "camera_id", *RAY_COLS]
+    schema = T.StructType([
+        T.StructField("src", T.LongType()),
+        T.StructField("dst", T.LongType()),
+        T.StructField("weight", T.DoubleType()),
+        T.StructField("dist", T.DoubleType()),
+    ])
+
+    def run_partition(batches):
+        tail = None  # carry: a cell run can span an Arrow batch edge
+
+        def emit(arrs):
+            cell = arrs[0]
+            ray, cam = arrs[1], arrs[2]
+            P = np.stack(arrs[3:9], axis=1)       # (n, 6) sx sy sz ex ey ez
+            a0, a1 = P[:, 0:3], P[:, 3:6]
+            # this cell's grid index (constant across the run)
+            ix = int((int(cell[0]) >> 29) & mask29) - off
+            iy = int(int(cell[0]) & mask29) - off
+            # SAME floor expressions as the cover emission / the join
+            # path's canonical-cell recompute — bit-identical doubles
+            xlo = np.minimum(P[:, 0], P[:, 3])
+            ylo = np.minimum(P[:, 1], P[:, 4])
+            raw_ix0 = np.floor(xlo / s_val)
+            raw_iy0 = np.floor(ylo / s_val)
+            dil_ix0 = np.floor((xlo - tau) / s_val)
+            dil_iy0 = np.floor((ylo - tau) / s_val)
+            # raw cover ⊆ dilated cover: a row is a valid RAW-role (j)
+            # participant in this cell iff the cell lies in its raw
+            # cover — compress the j axis to those rows up front
+            jsel = np.flatnonzero(
+                (raw_ix0 <= ix)
+                & (ix <= np.floor(np.maximum(P[:, 0], P[:, 3]) / s_val))
+                & (raw_iy0 <= iy)
+                & (iy <= np.floor(np.maximum(P[:, 1], P[:, 4]) / s_val)))
+            if not len(jsel):
+                return []
+            ray_j, cam_j = ray[jsel], cam[jsel]
+            # canonical-cell dedup as 1-D predicates: the pair survives
+            # only where this cell is (max of the two low x-indices, max
+            # of the low y-indices). Every i has dil_ix0 ≤ ix (the cell
+            # is in its dilated cover) and every j has raw_ix0 ≤ ix, so
+            # max == ix ⇔ at least one side's low index EQUALS ix — an
+            # outer OR of two 1-D bools, no (i, j)-shaped arithmetic
+            eqx_i = dil_ix0 == ix
+            eqy_i = dil_iy0 == iy
+            eqx_j = raw_ix0[jsel] == ix
+            eqy_j = raw_iy0[jsel] == iy
+            n = len(ray)
+            out = []
+            step = max(1, _PAIR_CHUNK // max(1, len(jsel)))
+            for i0 in range(0, n, step):
+                i1 = min(n, i0 + step)
+                m = ray[i0:i1, None] < ray_j[None, :]
+                if cross_camera_only:
+                    m &= cam[i0:i1, None] != cam_j[None, :]
+                m &= eqx_i[i0:i1, None] | eqx_j[None, :]
+                m &= eqy_i[i0:i1, None] | eqy_j[None, :]
+                ii, js = np.nonzero(m)
+                if not len(ii):
+                    continue
+                ii += i0
+                jj = jsel[js]
+                # bbox-gap prefilter (same bound as the join path):
+                # dist ≥ √(Σ per-axis bbox gaps²), so gap² > τ² pairs can
+                # never pass the exact filter — prunes ~94% of candidates
+                # before the gather-heavy kernel
+                g2 = np.zeros(len(ii))
+                for lo_c, hi_c in ((0, 3), (1, 4), (2, 5)):
+                    lo = np.minimum(P[:, lo_c], P[:, hi_c])
+                    hi = np.maximum(P[:, lo_c], P[:, hi_c])
+                    g = np.maximum(
+                        0.0, np.maximum(lo[ii], lo[jj])
+                        - np.minimum(hi[ii], hi[jj]))
+                    g2 += g * g
+                near = np.flatnonzero(g2 <= tau * tau)
+                if not len(near):
+                    continue
+                ii, jj = ii[near], jj[near]
+                d = _pair_dist_exact(a0[ii], a1[ii], a0[jj], a1[jj])
+                keep = d <= tau
+                if not keep.any():
+                    continue
+                d = d[keep]
+                out.append(pd.DataFrame({
+                    "src": ray[ii[keep]], "dst": ray[jj[keep]],
+                    "weight": 1.0 / np.maximum(d, min_dist), "dist": d}))
+            return out
+
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            arrs = [pdf[c].to_numpy() for c in cols]
+            if tail is not None:
+                arrs = [np.concatenate([t, a]) for t, a in zip(tail, arrs)]
+            cells = arrs[0]
+            bounds = np.flatnonzero(cells[1:] != cells[:-1]) + 1
+            starts = np.concatenate(([0], bounds))
+            # hold back the LAST run — it may continue in the next batch
+            chunks = []
+            for k in range(len(starts) - 1):
+                chunks.extend(emit([a[starts[k]:starts[k + 1]] for a in arrs]))
+            tail = [a[starts[-1]:] for a in arrs]
+            if chunks:
+                yield pd.concat(chunks, ignore_index=True)
+        if tail is not None and len(tail[0]):
+            chunks = emit(tail)
+            if chunks:
+                yield pd.concat(chunks, ignore_index=True)
+
+    return part.mapInPandas(run_partition, schema=schema)
+
+
 def ray_proximity_edges(
     rays: DataFrame,
     tau: float,
@@ -159,6 +333,7 @@ def ray_proximity_edges(
     cross_camera_only: bool = True,
     use_jvm_kernel: bool = True,
     cell_partitions: int | None = None,
+    pair_mode: str = "join",
 ) -> DataFrame:
     """→ (src, dst, weight, dist): sparse proximity graph over segments.
 
@@ -166,17 +341,42 @@ def ray_proximity_edges(
     (dist clamped below by ``min_dist`` — the reference's 1/dist with
     potential inf is made finite and deterministic).
 
-    The candidate join is an explicitly cell-partitioned SORT-MERGE join
-    (``cell_partitions`` buckets, default 4× parallelism). Catalyst's size
-    estimate for an exploded side of a tiny scan undershoots by orders of
-    magnitude and picks a BroadcastHashJoin — at bench scale that shipped a
-    3.2M-row (~260 MB) hash relation every task probes at random (measured:
-    the probe stage is memory-bound and scales at ~0.57 from 4→16 cores;
-    the cell-partitioned merge join keeps each inner loop on one buffered
-    ~KB cell group, cache-resident), and at 10¹²-doc scale a data-sized
-    broadcast is a driver OOM. The user repartition also pins the pair-
-    enumeration stage's task count: AQE byte-coalescing would size it by
-    shuffle INPUT bytes, but the work here is the O(pairs) join OUTPUT.
+    Two execution paths, identical output (bit-identical float64 —
+    ``_pair_dist_exact`` replicates the staged JVM kernel's op order):
+
+    - ``pair_mode="join"`` (default): cell-partitioned SORT-MERGE
+      self-join with the canonical-cell condition pushed into the join,
+      a bbox-gap prefilter, and the staged whole-stage-codegen distance
+      kernel (``with_seg_dist``). Catalyst's size estimate for an
+      exploded side of a tiny scan undershoots by orders of magnitude
+      and picks a BroadcastHashJoin — at bench scale that shipped a
+      3.2M-row (~260 MB) hash relation every task probes at random
+      (measured: memory-bound, scaled ~0.57 from 4→16 cores), and at
+      10¹²-doc scale a data-sized broadcast is a driver OOM — so the
+      join is hinted ``merge`` on an explicit repartition, which also
+      pins the pair-enumeration stage's task count (AQE byte-coalescing
+      would size it by shuffle INPUT bytes; the work is the O(pairs)
+      join OUTPUT). A shuffled-hash hint measured equal (both
+      enumeration loops are cache-resident per cell group); merge keeps
+      the memory bound flat.
+    - ``pair_mode="cellgroup"``: ONE dilated-cover explode, ONE shuffle
+      (``repartition(cell_partitions, cell)`` + in-partition cell
+      sort), then per-cell vectorized numpy pair masks + the Eberly
+      kernel inside ``mapInPandas``. The raw-cover role is recovered
+      per row from the coordinates (raw cover ⊆ dilated cover), and
+      the canonical-cell dedup — keep a pair only in the (max low-x,
+      max low-y) shared cell — reduces to an outer OR of 1-D equality
+      masks, so candidate pairs never exist outside cache-resident
+      numpy temporaries. Halves the shuffled bytes vs the two-sided
+      join — the right trade when the cover shuffle, not the pair
+      kernel, is the bottleneck (very long segments or fat payload
+      columns); at the dense bench workload it measured ~25% SLOWER
+      than the join (the numpy pair masks and gathers cost more than
+      the merge join's in-partition sorts), which is why it is not the
+      default.
+
+    Both paths bound the candidate count by physical ray density per
+    cell — neither materializes the N² grid the reference blocks over.
     """
     if res is None:
         # cell comfortably larger than τ keeps ring logic unnecessary
@@ -184,6 +384,9 @@ def ray_proximity_edges(
     if cell_partitions is None:
         sc = rays.sparkSession.sparkContext
         cell_partitions = max(sc.defaultParallelism * 4, 16)
+    if pair_mode == "cellgroup":
+        return _cell_grouped_edges(
+            rays, tau, res, min_dist, cross_camera_only, cell_partitions)
     a_side = rays.select(
         F.col("ray_id").alias("ray_a"), F.col("camera_id").alias("cam_a"),
         *[F.col(c).alias(f"a_{c}") for c in RAY_COLS])
@@ -220,6 +423,34 @@ def ray_proximity_edges(
     cond.append(cur_ix == F.greatest(a_ix0, b_ix0))
     cond.append(cur_iy == F.greatest(a_iy0, b_iy0))
     cand = a.hint("merge").join(b, cond).drop("cell")
+    # bbox-gap prefilter between the join and the staged kernel: any two
+    # segment points differ by at least the per-axis bbox gaps, so
+    # dist ≥ √(gapx² + gapy² + gapz²) — a pair with gap² > τ² can never
+    # pass the exact ``dist ≤ τ`` filter (the survivors still go through
+    # the exact kernel). Prunes ~94% of candidates ahead of the ~50-flop
+    # staged kernel at the dense-bench density (neutral there — the
+    # merge enumeration dominates — but the win grows with τ·density,
+    # where kernel flops dominate). Placement matters, twice over: as a
+    # JOIN CONDITION the whole predicate is evaluated interpreted inside
+    # the SMJ condition check (measured +45% on the join stage), and as
+    # a plain filter Catalyst would push it INTO that join condition —
+    # the rand()*0.0 non-determinism tag (same trick as with_seg_dist)
+    # pins it here as a compiled post-join filter.
+    def _gap(lo_a, hi_a, lo_b, hi_b):
+        return F.greatest(
+            F.lit(0.0),
+            F.greatest(F.least(cand[lo_a], cand[hi_a]),
+                       F.least(cand[lo_b], cand[hi_b]))
+            - F.least(F.greatest(cand[lo_a], cand[hi_a]),
+                      F.greatest(cand[lo_b], cand[hi_b])))
+
+    gx = _gap("a_sx", "a_ex", "b_sx", "b_ex")
+    gy = _gap("a_sy", "a_ey", "b_sy", "b_ey")
+    gz = _gap("a_sz", "a_ez", "b_sz", "b_ez")
+    cand = cand.withColumn(
+        "_g2", gx * gx + gy * gy + gz * gz
+        + F.rand(7) * F.lit(0.0)).filter(
+        F.col("_g2") <= F.lit(tau) * F.lit(tau)).drop("_g2")
     if use_jvm_kernel:
         scored = with_seg_dist(cand, out="dist")
     else:

@@ -220,3 +220,29 @@ def test_knn_guaranteed_true_on_dense_refs(spark):
                       "x": rng.uniform(0, 50, 400), "y": rng.uniform(0, 50, 400)})
     got = KNN.knn_join(spark.createDataFrame(q), spark.createDataFrame(r), k=2).collect()
     assert all(row["guaranteed"] for row in got)
+
+
+def test_ray_edges_cellgroup_bit_identical(spark):
+    """The cell-grouped execution path must produce the SAME edge set as
+    the merge-join path, bit-identical float64 (``_pair_dist_exact``
+    replicates the staged JVM kernel's op order)."""
+    rng = np.random.default_rng(17)
+    n = 1500
+    pdf = pd.DataFrame({
+        "ray_id": np.arange(n, dtype=np.int64),
+        "camera_id": rng.integers(0, 12, n),
+        "sx": rng.uniform(0, 25, n), "sy": rng.uniform(0, 25, n),
+        "sz": rng.uniform(0, 1, n),
+        "ex": rng.uniform(0, 25, n), "ey": rng.uniform(0, 25, n),
+        "ez": rng.uniform(1, 3, n)})
+    rays = spark.createDataFrame(pdf)
+    a = (RT.ray_proximity_edges(rays, tau=0.45, pair_mode="join")
+         .toPandas().sort_values(["src", "dst"]).reset_index(drop=True))
+    b = (RT.ray_proximity_edges(rays, tau=0.45, pair_mode="cellgroup")
+         .toPandas().sort_values(["src", "dst"]).reset_index(drop=True))
+    assert len(a) > 100
+    assert len(a) == len(b)
+    assert (a[["src", "dst"]].to_numpy() == b[["src", "dst"]].to_numpy()).all()
+    for c in ("weight", "dist"):
+        assert np.array_equal(a[c].to_numpy().view(np.uint64),
+                              b[c].to_numpy().view(np.uint64))
