@@ -344,36 +344,39 @@ def ray_proximity_edges(
     Two execution paths, identical output (bit-identical float64 —
     ``_pair_dist_exact`` replicates the staged JVM kernel's op order):
 
-    - ``pair_mode="join"`` (default): cell-partitioned SORT-MERGE
-      self-join with the canonical-cell condition pushed into the join,
-      a bbox-gap prefilter, and the staged whole-stage-codegen distance
-      kernel (``with_seg_dist``). Catalyst's size estimate for an
-      exploded side of a tiny scan undershoots by orders of magnitude
-      and picks a BroadcastHashJoin — at bench scale that shipped a
-      3.2M-row (~260 MB) hash relation every task probes at random
-      (measured: memory-bound, scaled ~0.57 from 4→16 cores), and at
-      10¹²-doc scale a data-sized broadcast is a driver OOM — so the
-      join is hinted ``merge`` on an explicit repartition, which also
-      pins the pair-enumeration stage's task count (AQE byte-coalescing
+    - ``pair_mode="join"`` (default): SINGLE-EXCHANGE cell-partitioned
+      SORT-MERGE self-join. Both sides consume the same repartitioned
+      τ-dilated cover (canonically-equal exchange subtrees → Spark
+      plans a ReusedExchange: the cover is exploded, row-packed and
+      shuffled ONCE), the b side recovers its raw-cover role from the
+      coordinates post-shuffle (raw ⊆ dilated; taint-pinned filter),
+      the canonical-cell condition rides in the join, and a bbox-gap
+      prefilter guards the staged whole-stage-codegen distance kernel
+      (``with_seg_dist``). Measured at the dense bench: the two-sided
+      form's second explode+pack+write stage was the scaling sink
+      (per-task CPU inflated ~5x from 4→16 cores — bus-bound), and the
+      single-exchange form cut wall 28-32% at BOTH parallelism levels
+      and lifted 4→16 efficiency ~0.79 → 0.83. The join is hinted
+      ``merge`` on the explicit repartition: Catalyst's size estimate
+      for an exploded side of a tiny scan undershoots by orders of
+      magnitude and would pick a BroadcastHashJoin (measured:
+      memory-bound, ~0.57 scaling; at 10¹²-doc scale a data-sized
+      broadcast is a driver OOM), and the user repartition also pins
+      the pair-enumeration stage's task count (AQE byte-coalescing
       would size it by shuffle INPUT bytes; the work is the O(pairs)
-      join OUTPUT). A shuffled-hash hint measured equal (both
-      enumeration loops are cache-resident per cell group); merge keeps
-      the memory bound flat.
-    - ``pair_mode="cellgroup"``: ONE dilated-cover explode, ONE shuffle
-      (``repartition(cell_partitions, cell)`` + in-partition cell
-      sort), then per-cell vectorized numpy pair masks + the Eberly
-      kernel inside ``mapInPandas``. The raw-cover role is recovered
-      per row from the coordinates (raw cover ⊆ dilated cover), and
-      the canonical-cell dedup — keep a pair only in the (max low-x,
-      max low-y) shared cell — reduces to an outer OR of 1-D equality
-      masks, so candidate pairs never exist outside cache-resident
-      numpy temporaries. Halves the shuffled bytes vs the two-sided
-      join — the right trade when the cover shuffle, not the pair
-      kernel, is the bottleneck (very long segments or fat payload
-      columns); at the dense bench workload it measured ~25% SLOWER
-      than the join (the numpy pair masks and gathers cost more than
-      the merge join's in-partition sorts), which is why it is not the
-      default.
+      join OUTPUT).
+    - ``pair_mode="cellgroup"``: the same single dilated-cover shuffle,
+      then per-cell vectorized numpy pair masks + the Eberly kernel
+      inside ``mapInPandas`` — no second shuffle READ and no merge-join
+      sorts at all. The raw-cover role is recovered per row as in the
+      join path, and the canonical-cell dedup reduces to an outer OR of
+      1-D equality masks, so candidate pairs never exist outside
+      cache-resident numpy temporaries. The right trade when sort cost
+      or shuffle-read bandwidth dominates (very long segments or fat
+      payload columns); at the dense bench workload it measured SLOWER
+      than the join and scaled worse (the Python-side pair masks and
+      gathers cost more than the cache-resident merge sorts), which is
+      why it is not the default.
 
     Both paths bound the candidate count by physical ray density per
     cell — neither materializes the N² grid the reference blocks over.
@@ -387,21 +390,57 @@ def ray_proximity_edges(
     if pair_mode == "cellgroup":
         return _cell_grouped_edges(
             rays, tau, res, min_dist, cross_camera_only, cell_partitions)
-    a_side = rays.select(
+    # ONE cover shuffle feeds BOTH join sides. The two sides used to
+    # explode different covers (a: τ-dilated, b: raw) — two full
+    # explode+pack+write map stages whose per-task CPU measured inflating
+    # ~5x from 4→16 cores (Tungsten row packing + lz4 on ~270 MB is
+    # bus-bound, the stream-class kernel that physically caps at ~0.44
+    # scaling on this host). Raw cover ⊆ dilated cover, so instead both
+    # sides read the SAME repartitioned dilated cover — canonically equal
+    # exchange subtrees, so Spark plans a ReusedExchange and the cover is
+    # exploded, packed and shuffled ONCE — and the b side recovers its
+    # raw-cover membership post-shuffle from the coordinates, with the
+    # SAME floor expressions the raw emission used (bit-identical
+    # candidate set). Each recovered bound carries a rand()*0.0 taint:
+    # untainted, PushDownPredicates would split the conjuncts and push
+    # them below the repartition, making the b-side exchange distinct
+    # again and resurrecting the second shuffle.
+    # null ids/coords can never yield an edge through the inner join
+    # (null conditions drop the row); filtering them below the explode
+    # keeps the two sides' inferred-notnull constraints subsumed, so
+    # neither side grows an asymmetric below-exchange Filter that would
+    # break the exchanges' canonical equality
+    notnull = F.col("ray_id").isNotNull() & F.col("camera_id").isNotNull()
+    for c in RAY_COLS:
+        notnull = notnull & F.col(c).isNotNull()
+    base = rays.select("ray_id", "camera_id", *RAY_COLS).filter(notnull)
+    cov = _segment_cover_cells(base, res, dilate=tau)
+    cov = cov.repartition(cell_partitions, "cell")
+    s = F.lit(C.cell_size(res))
+    off = F.lit(1 << 28).cast("long")
+    mask29 = F.lit((1 << 29) - 1).cast("long")
+    z = F.rand(11) * F.lit(0.0)  # == 0.0; x + z == x bit-exactly
+    cur_ix_b = F.shiftright(F.col("cell"), 29).bitwiseAND(mask29) - off
+    cur_iy_b = F.col("cell").bitwiseAND(mask29) - off
+    raw_ix0 = F.floor((F.least("sx", "ex") - F.lit(0.0) + z) / s).cast("long")
+    raw_ix1 = F.floor((F.greatest("sx", "ex") + z) / s).cast("long")
+    raw_iy0 = F.floor((F.least("sy", "ey") - F.lit(0.0) + z) / s).cast("long")
+    raw_iy1 = F.floor((F.greatest("sy", "ey") + z) / s).cast("long")
+    b = cov.filter(
+        (raw_ix0 <= cur_ix_b) & (cur_ix_b <= raw_ix1)
+        & (raw_iy0 <= cur_iy_b) & (cur_iy_b <= raw_iy1))
+    a = cov.select(
+        F.col("cell").alias("cell_a"),
         F.col("ray_id").alias("ray_a"), F.col("camera_id").alias("cam_a"),
         *[F.col(c).alias(f"a_{c}") for c in RAY_COLS])
-    b_side = rays.select(
+    b = b.select(
+        F.col("cell").alias("cell_b"),
         F.col("ray_id").alias("ray_b"), F.col("camera_id").alias("cam_b"),
         *[F.col(c).alias(f"b_{c}") for c in RAY_COLS])
-    a = _segment_cover_cells(a_side, res, dilate=tau,
-                             sx="a_sx", sy="a_sy", ex="a_ex", ey="a_ey")
-    b = _segment_cover_cells(b_side, res, dilate=0.0,
-                             sx="b_sx", sy="b_sy", ex="b_ex", ey="b_ey")
-    a = a.repartition(cell_partitions, "cell")
-    b = b.repartition(cell_partitions, "cell")
-    cond = [a["cell"] == b["cell"], a["ray_a"] < b["ray_b"]]
+    cond = [F.col("cell_a") == F.col("cell_b"),
+            F.col("ray_a") < F.col("ray_b")]
     if cross_camera_only:
-        cond.append(a["cam_a"] != b["cam_b"])
+        cond.append(F.col("cam_a") != F.col("cam_b"))
     # CANONICAL-CELL dedup, inside the join: a pair whose covers share k
     # cells would match k times; instead of a global dropDuplicates
     # exchange over the (dense) edge set, keep the pair only in the
@@ -411,18 +450,15 @@ def ray_proximity_edges(
     # raw coordinates with the SAME floor expressions the cover emission
     # used (bit-identical), so no extra shuffle bytes; evaluated as a join
     # condition, so duplicate candidates never reach the distance kernel.
-    s = F.lit(C.cell_size(res))
-    off = F.lit(1 << 28).cast("long")
-    mask29 = F.lit((1 << 29) - 1).cast("long")
-    cur_ix = F.shiftright(a["cell"], 29).bitwiseAND(mask29) - off
-    cur_iy = a["cell"].bitwiseAND(mask29) - off
-    a_ix0 = F.floor((F.least(a["a_sx"], a["a_ex"]) - F.lit(tau)) / s).cast("long")
-    a_iy0 = F.floor((F.least(a["a_sy"], a["a_ey"]) - F.lit(tau)) / s).cast("long")
-    b_ix0 = F.floor((F.least(b["b_sx"], b["b_ex"]) - F.lit(0.0)) / s).cast("long")
-    b_iy0 = F.floor((F.least(b["b_sy"], b["b_ey"]) - F.lit(0.0)) / s).cast("long")
+    cur_ix = F.shiftright(F.col("cell_a"), 29).bitwiseAND(mask29) - off
+    cur_iy = F.col("cell_a").bitwiseAND(mask29) - off
+    a_ix0 = F.floor((F.least("a_sx", "a_ex") - F.lit(tau)) / s).cast("long")
+    a_iy0 = F.floor((F.least("a_sy", "a_ey") - F.lit(tau)) / s).cast("long")
+    b_ix0 = F.floor((F.least("b_sx", "b_ex") - F.lit(0.0)) / s).cast("long")
+    b_iy0 = F.floor((F.least("b_sy", "b_ey") - F.lit(0.0)) / s).cast("long")
     cond.append(cur_ix == F.greatest(a_ix0, b_ix0))
     cond.append(cur_iy == F.greatest(a_iy0, b_iy0))
-    cand = a.hint("merge").join(b, cond).drop("cell")
+    cand = a.hint("merge").join(b, cond).drop("cell_a", "cell_b")
     # bbox-gap prefilter between the join and the staged kernel: any two
     # segment points differ by at least the per-axis bbox gaps, so
     # dist ≥ √(gapx² + gapy² + gapz²) — a pair with gap² > τ² can never

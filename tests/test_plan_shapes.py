@@ -113,3 +113,26 @@ def test_jaccard_single_shingle_construction(spark, queries):
     # inside each InMemoryTableScan is the cached plan's description, not
     # a runtime scan — the build runs once)
     assert plan.count("InMemoryTableScan") >= 3
+
+
+def test_proximity_cover_shuffled_once(spark, queries):
+    """The proximity self-join must feed BOTH sides from ONE dilated-cover
+    exchange (canonically-equal subtrees -> ReusedExchange): the two-sided
+    form's second explode+pack+write stage was the measured scaling sink
+    (per-task CPU inflated ~5x from 4 to 16 cores on ~100 MB of extra
+    shuffle write). An asymmetric pushed-down filter silently breaks the
+    canonical equality, so guard it here."""
+    df = queries["proximity_edges"](spark, SF_DIR)
+    sp = df._jdf.queryExecution().sparkPlan()
+    exchanges = []
+
+    def walk(node):
+        if node.nodeName() == "Exchange":
+            exchanges.append(node)
+        for i in range(node.children().size()):
+            walk(node.children().apply(i))
+
+    walk(sp)
+    assert len(exchanges) == 2, f"expected the 2 self-join exchanges, saw {len(exchanges)}"
+    assert exchanges[0].canonicalized().equals(exchanges[1].canonicalized()), (
+        "self-join exchanges no longer canonically equal - ReusedExchange lost")
