@@ -111,6 +111,24 @@ def inverse_bucket_keys(p: int) -> list[int]:
 # The operator
 # ---------------------------------------------------------------------------
 
+def auto_partitions(p: int, n_groups: int) -> int:
+    """Bucket-count rule for the enumeration regime. With ≥ ~16 groups
+    per bucket the content-hash striping averages per-group cost noise
+    away and the 4-wave default is the overhead sweet spot (measured:
+    2700 tiles at 64 buckets scale cleanly; doubling buckets cost +14%
+    in per-task Arrow/worker overhead). BELOW that, one expensive group
+    per thin bucket caps the stage — 576 cameras on 64 buckets left a
+    2.1x task-time spread and ~12% of wall in the last-wave tail —
+    so raise the bucket count toward ~3 groups/bucket (576 cameras:
+    measured best at exactly groups/3 = 192 buckets, -12% wall at 16
+    cores), capped at 3x so per-task overhead stays bounded. Never
+    shrinks p: a small group domain keeps every bucket, it just stops
+    subdividing (groups are atomic anyway)."""
+    if n_groups and n_groups / p < 16:
+        return min(3 * p, max(p, n_groups // 3))
+    return p
+
+
 def grouped_apply_balanced(
     df: DataFrame,
     keys: Sequence[str],
@@ -132,7 +150,12 @@ def grouped_apply_balanced(
     group-cost variance, and four waves halve the last-wave straggler
     tail a two-wave schedule pays (measured ~8% of stage wall on the
     576-camera render at 2×) while per-task Python-worker overhead
-    stays negligible (workers are reused across tasks). Groups are atomic: one group's rows always land
+    stays negligible (workers are reused across tasks). In the
+    enumeration regime the default is additionally raised by
+    ``auto_partitions`` when the group domain is thin relative to the
+    bucket count (high per-group cost variance stops averaging out —
+    see its docstring for the measurements); an explicit ``partitions``
+    is always respected verbatim. Groups are atomic: one group's rows always land
     in one task, so per-task memory is bounded by the largest
     ⌈groups/partitions⌉ groups (enumeration regime) or by the streamed
     single group (volume regime).
@@ -175,6 +198,8 @@ def grouped_apply_balanced(
         return (df.repartition(p, *keys)
                   .groupBy(*keys).applyInPandas(fn, schema=schema))
 
+    if partitions is None:
+        p = auto_partitions(p, len(head))
     inv = inverse_bucket_keys(p)
     # stripe in content-hash order, not key order: group cost usually
     # varies smoothly with the natural key (neighboring cameras/tiles see

@@ -184,3 +184,18 @@ class TestGroupedApplyBalanced:
                     .toPandas()["n_groups"].tolist())
         assert sum(per_part) == 40
         assert max(per_part) - min(per_part) <= 1
+
+
+def test_auto_partitions_rule():
+    from geograypher_spark.operators.balanced import auto_partitions
+
+    # thick buckets (>=16 groups each): default stands
+    assert auto_partitions(64, 2700) == 64
+    assert auto_partitions(16, 576) == 16
+    # thin buckets: raised toward ~3 groups/bucket, capped at 3x
+    assert auto_partitions(64, 576) == 192
+    assert auto_partitions(128, 576) == 192
+    assert auto_partitions(64, 700) == 192  # 700//3=233 capped at 3x
+    # tiny domains never shrink p (groups are atomic; buckets stay)
+    assert auto_partitions(128, 10) == 128
+    assert auto_partitions(8, 0) == 8
