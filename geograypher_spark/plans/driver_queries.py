@@ -1240,6 +1240,261 @@ FROM chan0 GROUP BY doc_id
 
 
 # ---------------------------------------------------------------------------
+# Real-codec roundtrips: the from-scratch PNG/JPEG/WAV/MJPEG-AVI codecs
+# (functions/png.py, jpeg.py, wav.py, avi.py) run through the full Spark
+# plumbing on deterministic payloads whose decoded aggregate the oracle
+# computes in closed form. PNG and PCM WAV are lossless, so any byte-level
+# defect in filter/zlib/defilter (or RIFF walk) breaks the hash. JPEG is
+# lossy in general, but a block-constant image survives EXACTLY: a
+# constant 8×8 block has only a DC coefficient, DC = 8·(v−128), and at
+# quality 95 the DC quantizer step q00 = 2 keeps the reconstruction error
+# |e| ≤ q00/2 = 1, i.e. ≤ 1/8 < 0.5 per pixel after the IDCT's /8 —
+# rounding recovers v exactly, so the Huffman+IDCT pipeline is
+# value-verifiable against closed-form SQL despite float DCT internals.
+# Reference read path: geograypher/utils/image.py:10-26.
+# ---------------------------------------------------------------------------
+
+def _codec_seed_series(texts: pd.Series) -> "np.ndarray":
+    import hashlib
+
+    return np.array([
+        int(hashlib.md5(t.encode("utf-8")).hexdigest()[:8], 16)
+        for t in texts], dtype=np.int64)
+
+
+def q_png_roundtrip(spark, sf_dir):
+    """Recurrence pixels → encode_png → decode_image (real decoder) →
+    exact per-channel integer sums. Lossless: decoded == original."""
+    from ..functions.png import encode_png
+    from ..operators.multimodal import decode_image
+
+    HW = 24
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    schema = T.StructType([
+        T.StructField("media_ref", T.StringType()),
+        T.StructField("height", T.IntegerType()),
+        T.StructField("width", T.IntegerType()),
+        T.StructField("sum_r", T.LongType()),
+        T.StructField("sum_g", T.LongType()),
+        T.StructField("sum_b", T.LongType())])
+
+    def gen(batches):
+        p = np.arange(HW * HW * 3, dtype=np.int64)
+        for pdf in batches:
+            seeds = _codec_seed_series(pdf["text"])
+            out = {k: [] for k in ("media_ref", "height", "width",
+                                   "sum_r", "sum_g", "sum_b")}
+            for doc_id, s in zip(pdf["doc_id"], seeds):
+                img = ((s * (p + 1) + p * p) % 256).reshape(
+                    HW, HW, 3).astype(np.uint8)
+                dec = decode_image(encode_png(img))
+                sums = dec.reshape(-1, 3).astype(np.int64).sum(axis=0)
+                out["media_ref"].append(f"img://{doc_id}")
+                out["height"].append(dec.shape[0])
+                out["width"].append(dec.shape[1])
+                out["sum_r"].append(int(sums[0]))
+                out["sum_g"].append(int(sums[1]))
+                out["sum_b"].append(int(sums[2]))
+            yield pd.DataFrame({
+                "media_ref": out["media_ref"],
+                "height": pd.Series(out["height"], dtype="int32"),
+                "width": pd.Series(out["width"], dtype="int32"),
+                "sum_r": pd.Series(out["sum_r"], dtype="int64"),
+                "sum_g": pd.Series(out["sum_g"], dtype="int64"),
+                "sum_b": pd.Series(out["sum_b"], dtype="int64")})
+
+    return docs.mapInPandas(gen, schema=schema)
+
+
+SQL_PNG_ROUNDTRIP = """
+WITH seeds AS (
+  SELECT doc_id, ('0x' || substr(md5(text), 1, 8))::BIGINT AS s
+  FROM documents
+),
+px AS (
+  SELECT doc_id,
+    (s * (3 * t.generate_series + 1)
+     + 9 * t.generate_series * t.generate_series) % 256 AS r,
+    (s * (3 * t.generate_series + 2)
+     + (3 * t.generate_series + 1) * (3 * t.generate_series + 1)) % 256 AS g,
+    (s * (3 * t.generate_series + 3)
+     + (3 * t.generate_series + 2) * (3 * t.generate_series + 2)) % 256 AS b
+  FROM seeds, generate_series(0, 575) t
+)
+SELECT 'img://' || doc_id AS media_ref,
+       CAST(24 AS INTEGER) AS height, CAST(24 AS INTEGER) AS width,
+       CAST(sum(r) AS BIGINT) AS sum_r, CAST(sum(g) AS BIGINT) AS sum_g,
+       CAST(sum(b) AS BIGINT) AS sum_b
+FROM px GROUP BY doc_id
+"""
+
+
+def q_jpeg_roundtrip(spark, sf_dir):
+    """Block-constant grayscale 32×32 (16 blocks, value v_k from the
+    recurrence) → encode_jpeg(quality=95) → decode_image → exact pixel
+    sum (= 64·Σv_k by the DC-exactness argument above)."""
+    from ..functions.jpeg import encode_jpeg
+    from ..operators.multimodal import decode_image
+
+    NB = 4  # 4×4 blocks of 8×8 → 32×32
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    schema = T.StructType([
+        T.StructField("media_ref", T.StringType()),
+        T.StructField("height", T.IntegerType()),
+        T.StructField("width", T.IntegerType()),
+        T.StructField("pix_sum", T.LongType())])
+
+    def gen(batches):
+        k = np.arange(NB * NB, dtype=np.int64)
+        for pdf in batches:
+            seeds = _codec_seed_series(pdf["text"])
+            out = {"media_ref": [], "height": [], "width": [], "pix_sum": []}
+            for doc_id, s in zip(pdf["doc_id"], seeds):
+                v = ((s * (k + 1) + k * k) % 256).reshape(NB, NB)
+                img = np.kron(v, np.ones((8, 8), dtype=np.int64)
+                              ).astype(np.uint8)
+                dec = decode_image(encode_jpeg(img, quality=95))
+                out["media_ref"].append(f"img://{doc_id}")
+                out["height"].append(dec.shape[0])
+                out["width"].append(dec.shape[1])
+                out["pix_sum"].append(int(dec.astype(np.int64).sum()))
+            yield pd.DataFrame({
+                "media_ref": out["media_ref"],
+                "height": pd.Series(out["height"], dtype="int32"),
+                "width": pd.Series(out["width"], dtype="int32"),
+                "pix_sum": pd.Series(out["pix_sum"], dtype="int64")})
+
+    return docs.mapInPandas(gen, schema=schema)
+
+
+SQL_JPEG_ROUNDTRIP = """
+WITH seeds AS (
+  SELECT doc_id, ('0x' || substr(md5(text), 1, 8))::BIGINT AS s
+  FROM documents
+),
+blocks AS (
+  SELECT doc_id,
+    (s * (t.generate_series + 1)
+     + t.generate_series * t.generate_series) % 256 AS v
+  FROM seeds, generate_series(0, 15) t
+)
+SELECT 'img://' || doc_id AS media_ref,
+       CAST(32 AS INTEGER) AS height, CAST(32 AS INTEGER) AS width,
+       CAST(64 * sum(v) AS BIGINT) AS pix_sum
+FROM blocks GROUP BY doc_id
+"""
+
+
+def q_wav_roundtrip(spark, sf_dir):
+    """Recurrence int16 samples → encode_wav → decode_audio (real RIFF
+    walk + PCM decode) → exact sample sum. Lossless."""
+    from ..functions.wav import encode_wav
+    from ..operators.multimodal import decode_audio
+
+    N = 2048
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    schema = T.StructType([
+        T.StructField("media_ref", T.StringType()),
+        T.StructField("n_samples", T.LongType()),
+        T.StructField("sample_rate", T.IntegerType()),
+        T.StructField("samp_sum", T.LongType())])
+
+    def gen(batches):
+        i = np.arange(N, dtype=np.int64)
+        for pdf in batches:
+            seeds = _codec_seed_series(pdf["text"])
+            out = {"media_ref": [], "n_samples": [],
+                   "sample_rate": [], "samp_sum": []}
+            for doc_id, s in zip(pdf["doc_id"], seeds):
+                v = ((s * (i + 1) + i * i) % 65536 - 32768).astype(np.int16)
+                dec, rate = decode_audio(encode_wav(v, 16000))
+                out["media_ref"].append(f"aud://{doc_id}")
+                out["n_samples"].append(int(dec.shape[0]))
+                out["sample_rate"].append(int(rate))
+                out["samp_sum"].append(int(dec.astype(np.int64).sum()))
+            yield pd.DataFrame({
+                "media_ref": out["media_ref"],
+                "n_samples": pd.Series(out["n_samples"], dtype="int64"),
+                "sample_rate": pd.Series(out["sample_rate"], dtype="int32"),
+                "samp_sum": pd.Series(out["samp_sum"], dtype="int64")})
+
+    return docs.mapInPandas(gen, schema=schema)
+
+
+SQL_WAV_ROUNDTRIP = """
+WITH seeds AS (
+  SELECT doc_id, ('0x' || substr(md5(text), 1, 8))::BIGINT AS s
+  FROM documents
+),
+samp AS (
+  SELECT doc_id,
+    (s * (t.generate_series + 1)
+     + t.generate_series * t.generate_series) % 65536 - 32768 AS v
+  FROM seeds, generate_series(0, 2047) t
+)
+SELECT 'aud://' || doc_id AS media_ref,
+       CAST(2048 AS BIGINT) AS n_samples,
+       CAST(16000 AS INTEGER) AS sample_rate,
+       CAST(sum(v) AS BIGINT) AS samp_sum
+FROM samp GROUP BY doc_id
+"""
+
+
+def q_avi_framesample(spark, sf_dir):
+    """8 block-constant grayscale 16×16 MJPEG frames per doc →
+    encode_mjpeg_avi → decode every 3rd frame (container pointer walk
+    skips the rest) → exact per-frame pixel sum (= 256·v_j)."""
+    from ..functions.avi import decode_mjpeg_frames, encode_mjpeg_avi
+
+    NF, HW = 8, 16
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    schema = T.StructType([
+        T.StructField("media_ref", T.StringType()),
+        T.StructField("frame_idx", T.IntegerType()),
+        T.StructField("pix_sum", T.LongType())])
+
+    def gen(batches):
+        j = np.arange(NF, dtype=np.int64)
+        for pdf in batches:
+            seeds = _codec_seed_series(pdf["text"])
+            out = {"media_ref": [], "frame_idx": [], "pix_sum": []}
+            for doc_id, s in zip(pdf["doc_id"], seeds):
+                vals = (s * (j + 1) + j * j) % 256
+                frames = [np.full((HW, HW), int(v), dtype=np.uint8)
+                          for v in vals]
+                avi = encode_mjpeg_avi(frames, fps=10, quality=95)
+                for idx, frame in decode_mjpeg_frames(avi, every_nth=3):
+                    out["media_ref"].append(f"vid://{doc_id}")
+                    out["frame_idx"].append(idx)
+                    out["pix_sum"].append(int(frame.astype(np.int64).sum()))
+            yield pd.DataFrame({
+                "media_ref": out["media_ref"],
+                "frame_idx": pd.Series(out["frame_idx"], dtype="int32"),
+                "pix_sum": pd.Series(out["pix_sum"], dtype="int64")})
+
+    return docs.mapInPandas(gen, schema=schema)
+
+
+SQL_AVI_FRAMESAMPLE = """
+WITH seeds AS (
+  SELECT doc_id, ('0x' || substr(md5(text), 1, 8))::BIGINT AS s
+  FROM documents
+),
+frames AS (
+  SELECT doc_id, t.generate_series AS frame_idx,
+    (s * (t.generate_series + 1)
+     + t.generate_series * t.generate_series) % 256 AS v
+  FROM seeds, generate_series(0, 7) t
+  WHERE t.generate_series % 3 = 0
+)
+SELECT 'vid://' || doc_id AS media_ref,
+       CAST(frame_idx AS INTEGER) AS frame_idx,
+       CAST(256 * v AS BIGINT) AS pix_sum
+FROM frames
+"""
+
+
+# ---------------------------------------------------------------------------
 # Registry
 # ---------------------------------------------------------------------------
 
@@ -1281,6 +1536,10 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "multimodal_features": q_multimodal_features,
     "forward_pipeline": q_forward_pipeline,
     "render_labels": q_render_labels,
+    "png_roundtrip": q_png_roundtrip,
+    "jpeg_roundtrip": q_jpeg_roundtrip,
+    "wav_roundtrip": q_wav_roundtrip,
+    "avi_framesample": q_avi_framesample,
 }
 
 ORACLES: dict[str, str] = {
@@ -1322,6 +1581,10 @@ ORACLES: dict[str, str] = {
     "forward_pipeline": None,
     "render_labels": None,
     "multimodal_features": SQL_MULTIMODAL_FEATURES,
+    "png_roundtrip": SQL_PNG_ROUNDTRIP,
+    "jpeg_roundtrip": SQL_JPEG_ROUNDTRIP,
+    "wav_roundtrip": SQL_WAV_ROUNDTRIP,
+    "avi_framesample": SQL_AVI_FRAMESAMPLE,
 }
 
 

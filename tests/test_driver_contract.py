@@ -109,6 +109,10 @@ def test_every_query_has_runnable_callable(contract, spark):
     # gated; this gates detections -> rays -> graph -> components ->
     # triangulation end to end)
     "multiview_detections",
+    # round-5: the real from-scratch codecs (PNG/JPEG/WAV/MJPEG-AVI)
+    # value-verified end-to-end through the Spark plumbing — JPEG via
+    # block-constant images, which survive DC quantization exactly
+    "png_roundtrip", "jpeg_roundtrip", "wav_roundtrip", "avi_framesample",
 ])
 def test_query_matches_oracle(contract, spark, duck, name):
     q = contract.queries()[name]
