@@ -155,10 +155,18 @@ def parse_jpeg_gps(data: bytes) -> dict | None:
     return None
 
 
-def build_exif_jpeg(lat: float, lon: float, alt: float | None = None) -> bytes:
+def build_exif_jpeg(
+    lat: float, lon: float, alt: float | None = None,
+    lat_dms: "list[tuple[int, int]] | None" = None,
+    lon_dms: "list[tuple[int, int]] | None" = None,
+) -> bytes:
     """Minimal JPEG container holding ONLY a GPS EXIF APP1 segment — the
     writer twin used by tests (and available to sinks that must tag chips
-    with their geolocation)."""
+    with their geolocation). ``lat_dms``/``lon_dms`` take explicit
+    (num, den) rational triples verbatim — callers that need an exact
+    on-disk representation (e.g. the ``exif_gps`` contract oracle) bypass
+    the float DMS decomposition, whose trunc-of-float can be off by one
+    LSB; ``lat``/``lon`` then contribute only their hemisphere sign."""
     def rat(x, scale=1_000_000):
         return int(round(abs(x) * scale)), scale
 
@@ -171,9 +179,9 @@ def build_exif_jpeg(lat: float, lon: float, alt: float | None = None) -> bytes:
 
     gps_entries = [
         (_GPS_LAT_REF, 2, (b"N\x00" if lat >= 0 else b"S\x00")),
-        (_GPS_LAT, 5, dms(lat)),
+        (_GPS_LAT, 5, lat_dms if lat_dms is not None else dms(lat)),
         (_GPS_LON_REF, 2, (b"E\x00" if lon >= 0 else b"W\x00")),
-        (_GPS_LON, 5, dms(lon)),
+        (_GPS_LON, 5, lon_dms if lon_dms is not None else dms(lon)),
     ]
     if alt is not None:
         gps_entries.append((_GPS_ALT_REF, 1, bytes([0 if alt >= 0 else 1, 0, 0, 0])))

@@ -1475,6 +1475,64 @@ def q_avi_framesample(spark, sf_dir):
     return docs.mapInPandas(gen, schema=schema)
 
 
+def q_exif_gps(spark, sf_dir):
+    """S7 EXIF GPS read, oracle-gated: per-doc integer DMS rationals →
+    build_exif_jpeg (verbatim rationals, no float decomposition) →
+    exif_lonlat (the real APP1/TIFF walker, reference
+    geograypher/utils/image.py:10-26). The parse computes
+    deg = d + m/60.0 + s/3600.0 with s = s_num/10000.0 — four
+    correctly-rounded IEEE double ops the SQL twin repeats verbatim, so
+    the doubles are bit-identical."""
+    from ..functions.exif import build_exif_jpeg
+    from ..operators.multimodal import exif_lonlat
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id")
+    schema = T.StructType([
+        T.StructField("media_ref", T.StringType()),
+        T.StructField("kind", T.StringType()),
+        T.StructField("payload", T.BinaryType()),
+        T.StructField("meta", T.MapType(T.StringType(), T.StringType()))])
+
+    def gen(batches):
+        for pdf in batches:
+            refs, payloads = [], []
+            for doc_id in pdf["doc_id"]:
+                i = int(doc_id)
+                lat_dms = [(i % 89, 1), ((i * 7) % 60, 1),
+                           ((i * 13) % 600000, 10000)]
+                lon_dms = [(i % 179, 1), ((i * 11) % 60, 1),
+                           ((i * 17) % 600000, 10000)]
+                payloads.append(build_exif_jpeg(
+                    1.0 if i % 2 == 0 else -1.0,
+                    1.0 if i % 3 == 0 else -1.0,
+                    lat_dms=lat_dms, lon_dms=lon_dms))
+                refs.append(f"img://{i}")
+            yield pd.DataFrame({
+                "media_ref": refs, "kind": "image", "payload": payloads,
+                "meta": [{} for _ in refs]})
+
+    media = docs.mapInPandas(gen, schema=schema)
+    return exif_lonlat(media).select("media_ref", "lon", "lat")
+
+
+SQL_EXIF_GPS = """
+WITH g AS (
+  SELECT doc_id,
+         doc_id % 89 AS dlat, (doc_id * 7) % 60 AS mlat,
+         (doc_id * 13) % 600000 AS slat,
+         doc_id % 179 AS dlon, (doc_id * 11) % 60 AS mlon,
+         (doc_id * 17) % 600000 AS slon
+  FROM documents
+)
+SELECT 'img://' || doc_id AS media_ref,
+       (CASE WHEN doc_id % 3 = 0 THEN 1 ELSE -1 END)
+         * (dlon + mlon / 60.0 + (slon / 10000.0) / 3600.0) AS lon,
+       (CASE WHEN doc_id % 2 = 0 THEN 1 ELSE -1 END)
+         * (dlat + mlat / 60.0 + (slat / 10000.0) / 3600.0) AS lat
+FROM g
+"""
+
+
 SQL_AVI_FRAMESAMPLE = """
 WITH seeds AS (
   SELECT doc_id, ('0x' || substr(md5(text), 1, 8))::BIGINT AS s
@@ -1540,6 +1598,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "jpeg_roundtrip": q_jpeg_roundtrip,
     "wav_roundtrip": q_wav_roundtrip,
     "avi_framesample": q_avi_framesample,
+    "exif_gps": q_exif_gps,
 }
 
 ORACLES: dict[str, str] = {
@@ -1585,6 +1644,7 @@ ORACLES: dict[str, str] = {
     "jpeg_roundtrip": SQL_JPEG_ROUNDTRIP,
     "wav_roundtrip": SQL_WAV_ROUNDTRIP,
     "avi_framesample": SQL_AVI_FRAMESAMPLE,
+    "exif_gps": SQL_EXIF_GPS,
 }
 
 

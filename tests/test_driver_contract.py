@@ -113,6 +113,9 @@ def test_every_query_has_runnable_callable(contract, spark):
     # value-verified end-to-end through the Spark plumbing — JPEG via
     # block-constant images, which survive DC quantization exactly
     "png_roundtrip", "jpeg_roundtrip", "wav_roundtrip", "avi_framesample",
+    # round-5: S7 EXIF GPS — real APP1/TIFF walker on exact-rational
+    # payloads; the parse's float expression repeated verbatim in SQL
+    "exif_gps",
 ])
 def test_query_matches_oracle(contract, spark, duck, name):
     q = contract.queries()[name]
