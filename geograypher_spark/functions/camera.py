@@ -132,11 +132,94 @@ def brown_conrady_undistort(
     x ← xd − D(x) converges for physical distortion magnitudes and needs
     no grid — vectorized over the whole pixel batch."""
     xn, yn = np.asarray(xd, dtype=np.float64).copy(), np.asarray(yd, dtype=np.float64).copy()
-    for _ in range(iters):
-        xdist, ydist = brown_conrady_distort(xn, yn, params)
-        xn += xd - xdist
-        yn += yd - ydist
+    with np.errstate(over="ignore", invalid="ignore"):
+        for _ in range(iters):
+            xdist, ydist = brown_conrady_distort(xn, yn, params)
+            xn += xd - xdist
+            yn += yd - ydist
     return xn, yn
+
+
+def _undistort_pixels(
+    u: np.ndarray, v: np.ndarray, params: dict[str, float],
+    f: float, cx: float, cy: float, w: int, h: int,
+) -> tuple[np.ndarray, np.ndarray]:
+    """Distorted pixel coords → ideal (pinhole) pixel coords, both in the
+    Metashape convention of :func:`project_points`."""
+    xd = (u - (cx + w / 2.0)) / f
+    yd = (v - (cy + h / 2.0)) / f
+    xn, yn = brown_conrady_undistort(xd, yd, params)
+    return f * xn + cx + w / 2.0, f * yn + cy + h / 2.0
+
+
+def inverse_distortion_canvas(
+    params: dict[str, float], f: float, cx: float, cy: float,
+    w: int, h: int, max_margin: float = 1.0,
+) -> tuple[int, int, int, int]:
+    """Expanded pinhole canvas ``(x_off, y_off, W, H)`` covering the
+    warped→ideal map of the image BORDER pixel centers.
+
+    For a radially monotone Brown–Conrady field the extrema of the inverse
+    map over the pixel rectangle lie on its boundary, so rendering the
+    ideal image on this canvas guarantees every distorted output pixel has
+    a source sample. ``max_margin`` clips runaway inverses (non-physical
+    parameter sets) to at most that fraction of the frame per side; pixels
+    mapping outside are reported invalid by :func:`inverse_distortion_map`.
+    Deterministic in the camera parameters alone, so distributed partial
+    renders and their merge task agree on the geometry without
+    coordination (reference builds the same warped→ideal map densely with
+    scipy griddata, ``cameras/cameras.py:995-1090``)."""
+    eu = np.arange(w, dtype=np.float64) + 0.5
+    ev = np.arange(h, dtype=np.float64) + 0.5
+    u = np.concatenate([eu, eu, np.full(h, 0.5), np.full(h, w - 0.5)])
+    v = np.concatenate([np.full(w, 0.5), np.full(w, h - 0.5), ev, ev])
+    us, vs = _undistort_pixels(u, v, params, f, cx, cy, w, h)
+    ok = np.isfinite(us) & np.isfinite(vs)
+    mx, my = float(np.ceil(max_margin * w)), float(np.ceil(max_margin * h))
+    us = np.clip(us[ok], -mx, w + mx)
+    vs = np.clip(vs[ok], -my, h + my)
+    if len(us) == 0:
+        return 0, 0, w, h
+    x_off = min(int(np.floor(us.min())), 0)
+    y_off = min(int(np.floor(vs.min())), 0)
+    x_hi = max(int(np.floor(us.max())), w - 1)
+    y_hi = max(int(np.floor(vs.max())), h - 1)
+    return x_off, y_off, x_hi - x_off + 1, y_hi - y_off + 1
+
+
+def inverse_distortion_map(
+    params: dict[str, float], f: float, cx: float, cy: float,
+    w: int, h: int, canvas: tuple[int, int, int, int] | None = None,
+) -> tuple[np.ndarray, np.ndarray, np.ndarray, tuple[int, int, int, int]]:
+    """Per-output-pixel nearest-neighbour remap for render-then-warp
+    distortion: for every DISTORTED pixel (r, c) (sampled at its center),
+    the integer source pixel of the ideal render on the expanded canvas.
+
+    Returns ``(rows, cols, valid, (x_off, y_off, W, H))`` — all (h, w);
+    render the pinhole image with ``px - x_off, py - y_off`` into (H, W)
+    and gather ``ideal[rows, cols]`` where ``valid``. With zero distortion
+    the map is the identity (bit-exact pass-through). Matches the
+    reference's render-undistorted-then-warp order-0 remap
+    (``meshes.py:1817-1820`` via ``cameras.py:995-1090``)."""
+    if canvas is None:
+        canvas = inverse_distortion_canvas(params, f, cx, cy, w, h)
+    x_off, y_off, W, H = canvas
+    u = np.broadcast_to(np.arange(w, dtype=np.float64)[None, :] + 0.5, (h, w))
+    v = np.broadcast_to(np.arange(h, dtype=np.float64)[:, None] + 0.5, (h, w))
+    us, vs = _undistort_pixels(u.ravel(), v.ravel(), params, f, cx, cy, w, h)
+    # range-check in float space: a diverged inverse (no preimage inside
+    # the image circle, e.g. strong barrel k1) yields huge/NaN values that
+    # must not reach the int64 cast
+    valid = (np.isfinite(us) & np.isfinite(vs)
+             & (us >= x_off) & (us < x_off + W)
+             & (vs >= y_off) & (vs < y_off + H))
+    cols = np.floor(np.where(valid, us, 0.0)).astype(np.int64) - x_off
+    rows = np.floor(np.where(valid, vs, 0.0)).astype(np.int64) - y_off
+    valid &= (cols >= 0) & (cols < W) & (rows >= 0) & (rows < H)
+    cols[~valid] = 0
+    rows[~valid] = 0
+    return (rows.reshape(h, w), cols.reshape(h, w), valid.reshape(h, w),
+            canvas)
 
 
 def angle_between(v1: np.ndarray, v2: np.ndarray) -> np.ndarray:

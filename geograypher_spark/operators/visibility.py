@@ -212,29 +212,73 @@ def rasterize_zbuffer(
     return _out()
 
 
+def _scaled_intrinsics(cam_params: dict, scale: float):
+    """(f, cx, cy, w, h) after the render-scale factor — shared by the
+    render kernel and the split-path merge so canvas geometry agrees."""
+    f = float(cam_params["f"])
+    cx, cy = float(cam_params["cx"]), float(cam_params["cy"])
+    w, h = int(cam_params["w"]), int(cam_params["h"])
+    if scale != 1.0:
+        f, cx, cy = f * scale, cx * scale, cy * scale
+        w, h = int(round(w * scale)), int(round(h * scale))
+    return f, cx, cy, w, h
+
+
 def _render_group(pdf: pd.DataFrame, cam_params: dict, scale: float,
-                  return_depth: bool = False):
+                  return_depth: bool = False,
+                  distortion_mode: str = "vertex",
+                  _ideal_canvas: tuple[int, int, int, int] | None = None):
     """Shared per-camera render: returns the (h, w) face-id image.
 
     ``cam_params`` comes from the broadcast camera map — candidate rows
     carry ONLY (camera_id, face_id, 9 coords); shipping the 4×4 transform
     on every row through the shuffle costs ~2.5× the bytes for nothing.
+
+    ``distortion_mode`` picks how a camera's Brown–Conrady parameters are
+    honoured: ``"vertex"`` (default) warps the projected vertices — cheap
+    and exact for triangles small relative to the distortion field;
+    ``"warp"`` renders the ideal pinhole image on an expanded canvas and
+    remaps it per distorted output pixel through the fixed-point inverse
+    (the reference's render-undistorted-then-warp, ``meshes.py:1817-1820``)
+    — exact for arbitrarily large triangles (a straight edge renders as
+    the properly curved image curve) at the cost of one (h, w) inverse
+    map per render.
+
+    ``_ideal_canvas`` is internal (split-render path): render the IDEAL
+    pinhole image shifted into the given ``(x_off, y_off, W, H)`` canvas
+    and skip distortion entirely — the split-path merge applies the warp
+    ONCE after depth-min-merging the ideal partials (warping each partial
+    would double-resample).
     """
     # deterministic z-tie resolution: rasterize in face_id order regardless
     # of shuffle-dependent group row order
     pdf = pdf.sort_values("face_id")
     c2w = np.asarray(cam_params["cam_to_world"], dtype=np.float64).reshape(4, 4)
-    f, cx, cy = float(cam_params["f"]), float(cam_params["cx"]), float(cam_params["cy"])
-    w, h = int(cam_params["w"]), int(cam_params["h"])
-    if scale != 1.0:
-        f, cx, cy = f * scale, cx * scale, cy * scale
-        w, h = int(round(w * scale)), int(round(h * scale))
+    f, cx, cy, w, h = _scaled_intrinsics(cam_params, scale)
     coords = pdf[FACE_COORD_COLS].to_numpy(dtype=np.float64)
     n = len(coords)
     # coords row = [x0,y0,z0,x1,y1,z1,x2,y2,z2] → (n*3, 3) points
     pts = coords.reshape(n, 3, 3).reshape(n * 3, 3)
     distortion = cam_params.get("distortion") or {}
-    if distortion:
+    if _ideal_canvas is not None:
+        px, py, z = cam.project_points(pts, c2w, f, cx, cy, w, h)
+        x_off, y_off, w, h = _ideal_canvas
+        px = px - x_off
+        py = py - y_off
+    elif distortion and distortion_mode == "warp":
+        rows, cols, valid, (x_off, y_off, cw, ch) = cam.inverse_distortion_map(
+            distortion, f, cx, cy, w, h)
+        px, py, z = cam.project_points(pts, c2w, f, cx, cy, w, h)
+        tri_px = np.stack([px - x_off, py - y_off], axis=1).reshape(n, 3, 2)
+        tri_z = z.reshape(n, 3)
+        img_u, dep_u = rasterize_zbuffer(
+            tri_px, tri_z, pdf["face_id"].to_numpy(np.int64), cw, ch,
+            return_depth=True)
+        img = np.where(valid, img_u[rows, cols], np.int64(-1))
+        if return_depth:
+            return img, np.where(valid, dep_u[rows, cols], np.inf)
+        return img
+    elif distortion:
         # project via normalized coords → Brown–Conrady warp → pixels
         # (reference renders undistorted then warps, meshes.py:1817-1820;
         # distorting the vertices directly is the vectorized equivalent
@@ -508,7 +552,7 @@ def visibility_join(
     res: int = 4, scale: float = 1.0,
     salt_factor: int | None = None,
     max_cells: int = 4096, z_range: tuple[float, float] | None = None,
-    split_res_delta: int = 0,
+    split_res_delta: int = 0, distortion_mode: str = "vertex",
 ) -> DataFrame:
     """→ (camera_id, face_id, pixel_count): for every camera, the number of
     pixels whose first hit is each face (pixel_count > 0 only). The
@@ -523,7 +567,13 @@ def visibility_join(
     footprint area once, not #subgroups full frames. Exact: merge ties on
     (depth, face_id) reproduce the single-pass face_id-sorted strict-<
     rule. Use for wide scenes where cameras >> cores is false (the
-    per-camera group is the straggler at 100× face counts)."""
+    per-camera group is the straggler at 100× face counts).
+
+    ``distortion_mode``: ``"vertex"`` (default) or ``"warp"`` — see
+    :func:`_render_group`. In the split path the partials always render
+    the IDEAL pinhole image (on the expanded warp canvas when mode is
+    ``"warp"``) and the per-camera merge applies the inverse-distortion
+    remap exactly once, so split and non-split agree bit-for-bit."""
     cand = candidate_camera_faces(
         cameras, faces, res=res, salt_factor=salt_factor,
         max_cells=max_cells, z_range=z_range,
@@ -535,7 +585,8 @@ def visibility_join(
     if split_res_delta <= 0:
         def agg(key: tuple, pdf: pd.DataFrame) -> pd.DataFrame:
             return _counts_pdf(int(key[0]),
-                               _render_group(pdf, bc.value[int(key[0])], scale))
+                               _render_group(pdf, bc.value[int(key[0])], scale,
+                                             distortion_mode=distortion_mode))
 
         # camera renders are compute-dense (bytes-cheap candidate rows,
         # z-buffer kernel per group): the balanced grouped-apply keeps the
@@ -550,10 +601,23 @@ def visibility_join(
     sub = C.cell_id_col(F.col("x0"), F.col("y0"), res + split_res_delta)
     cand = cand.withColumn("_sub", sub)
 
+    def _warp_canvas(p) -> tuple[int, int, int, int] | None:
+        """Expanded ideal-render canvas for this camera, or None when the
+        camera is undistorted / mode is vertex. Deterministic in the
+        camera params, so partial-render and merge tasks agree with no
+        coordination."""
+        dist = p.get("distortion") or {}
+        if not dist or distortion_mode != "warp":
+            return None
+        return cam.inverse_distortion_canvas(
+            dist, *_scaled_intrinsics(p, scale))
+
     def render_partial(key: tuple, pdf: pd.DataFrame) -> pd.DataFrame:
         cam_id = int(key[0])
         img, depth = _render_group(pdf, bc.value[cam_id], scale,
-                                   return_depth=True)
+                                   return_depth=True,
+                                   distortion_mode=distortion_mode,
+                                   _ideal_canvas=_warp_canvas(bc.value[cam_id]))
         ys, xs = np.nonzero(img >= 0)
         empty = pd.DataFrame({
             "camera_id": pd.Series([], dtype="int64"),
@@ -581,11 +645,11 @@ def visibility_join(
     def merge(key: tuple, pdf: pd.DataFrame) -> pd.DataFrame:
         cam_id = int(key[0])
         p = bc.value[cam_id]
-        w, h = int(p["w"]), int(p["h"])
-        if scale != 1.0:
-            w, h = int(round(w * scale)), int(round(h * scale))
-        img = np.full((h, w), -1, dtype=np.int64)
-        depth = np.full((h, w), np.inf, dtype=np.float64)
+        f, cx, cy, w, h = _scaled_intrinsics(p, scale)
+        canvas = _warp_canvas(p)
+        mw, mh = (canvas[2], canvas[3]) if canvas is not None else (w, h)
+        img = np.full((mh, mw), -1, dtype=np.int64)
+        depth = np.full((mh, mw), np.inf, dtype=np.float64)
         for r in pdf.itertuples(index=False):
             pw, ph = int(r.w), int(r.h)
             pf = np.frombuffer(r.faces, dtype="<i8").reshape(ph, pw)
@@ -597,6 +661,12 @@ def visibility_join(
             take = (pdp < cur_d) | ((pdp == cur_d) & (pf >= 0) & (pf < cur_f))
             cur_f[take] = pf[take]
             cur_d[take] = pdp[take]
+        if canvas is not None:
+            # one inverse-distortion remap of the merged ideal frame —
+            # identical to the non-split warp render by construction
+            rows, cols, valid, _ = cam.inverse_distortion_map(
+                p.get("distortion") or {}, f, cx, cy, w, h, canvas=canvas)
+            img = np.where(valid, img[rows, cols], np.int64(-1))
         return _counts_pdf(cam_id, img)
 
     return grouped_apply_balanced(
@@ -607,7 +677,7 @@ def visibility_join(
 def render_label_images(
     cameras: DataFrame, faces_with_class: DataFrame,
     class_col: str = "face_class", nodata: int = 255,
-    res: int = 4, scale: float = 1.0,
+    res: int = 4, scale: float = 1.0, distortion_mode: str = "vertex",
 ) -> DataFrame:
     """→ (camera_id, w, h, label_image): per-camera uint8 CLASS images —
     the reverse-pipeline render (reference ``face_texture[pix2face]``
@@ -625,7 +695,8 @@ def render_label_images(
     ])
 
     def agg(key: tuple, pdf: pd.DataFrame) -> pd.DataFrame:
-        img = _render_group(pdf, bc.value[int(key[0])], scale)
+        img = _render_group(pdf, bc.value[int(key[0])], scale,
+                            distortion_mode=distortion_mode)
         lab = np.full(img.shape, nodata, dtype=np.uint8)
         hit = img >= 0
         if hit.any():
@@ -659,7 +730,7 @@ def render_label_images(
 
 def render_face_images(
     cameras: DataFrame, faces: DataFrame,
-    res: int = 4, scale: float = 1.0,
+    res: int = 4, scale: float = 1.0, distortion_mode: str = "vertex",
 ) -> DataFrame:
     """→ (camera_id, w, h, face_image:binary): full pix2face images as
     int64-LE bytes — feeds the render sink (S12) / label-mask export."""
@@ -674,11 +745,12 @@ def render_face_images(
     ])
 
     def agg(key: tuple, pdf: pd.DataFrame) -> pd.DataFrame:
-        img = _render_group(pdf, bc.value[int(key[0])], scale)
+        img = _render_group(pdf, bc.value[int(key[0])], scale,
+                            distortion_mode=distortion_mode)
         return pd.DataFrame({
             "camera_id": [key[0]],
             "w": [img.shape[1]], "h": [img.shape[0]],
-            "face_image": [img.astype("<i8").tobytes()],
+            "face_image": [np.ascontiguousarray(img).astype("<i8").tobytes()],
         })
 
     from .balanced import grouped_apply_balanced

@@ -248,3 +248,117 @@ def test_split_render_equals_single_group(spark):
     b = {(r["camera_id"], r["face_id"]): r["pixel_count"]
          for r in V.visibility_join(cdf0, occ, split_res_delta=6).collect()}
     assert a == b
+
+
+# ---------------------------------------------------------------------------
+# Exact render-then-warp distortion (distortion_mode="warp")
+# ---------------------------------------------------------------------------
+
+def _dist_cam_df(spark, dist, w=200, h=200, f=100.0):
+    pdf = pd.DataFrame([{
+        "camera_id": 0,
+        "cam_to_world": [1.0, 0, 0, 0.0, 0, -1.0, 0, 0.0, 0, 0, -1.0, 2.0,
+                         0, 0, 0, 1.0],
+        "f": f, "cx": 0.0, "cy": 0.0, "w": w, "h": h,
+        "distortion": dist,
+    }])
+    return spark.createDataFrame(pdf)
+
+
+def _one_tri_df(spark, p0, p1, p2):
+    p = np.array([p0, p1, p2], dtype=float)
+    return spark.createDataFrame(pd.DataFrame([{
+        "face_id": 0,
+        "x0": p[0, 0], "y0": p[0, 1], "z0": p[0, 2],
+        "x1": p[1, 0], "y1": p[1, 1], "z1": p[1, 2],
+        "x2": p[2, 0], "y2": p[2, 1], "z2": p[2, 2],
+        "cx": p[:, 0].mean(), "cy": p[:, 1].mean(), "cz": p[:, 2].mean(),
+    }]))
+
+
+def _face_img(row):
+    return np.frombuffer(bytes(row["face_image"]), dtype="<i8").reshape(
+        row["h"], row["w"])
+
+
+def test_warp_mode_zero_params_is_identity(spark):
+    """All-zero Brown-Conrady params through the warp path must reproduce
+    the plain pinhole render BIT-EXACTLY (the inverse map is the identity
+    and the canvas is the original frame)."""
+    verts, tris = flat_mesh_tables()
+    fdf = faces_df(spark, verts, tris)
+    plain = _face_img(V.render_face_images(
+        _dist_cam_df(spark, {}), fdf).collect()[0])
+    warp = _face_img(V.render_face_images(
+        _dist_cam_df(spark, {"k1": 0.0, "p1": 0.0}), fdf,
+        distortion_mode="warp").collect()[0])
+    assert np.array_equal(plain, warp)
+
+
+def test_warp_mode_big_triangle_curved_edges(spark):
+    """THE case vertex distortion gets wrong: one huge triangle under
+    strong barrel distortion. Ground truth per output pixel is analytic —
+    undistort the pixel center (same fixed-point inverse) and test the
+    ideal float coords against the pinhole-projected triangle, no raster
+    grid involved. The warp render must agree except for nearest-neighbour
+    quantisation at the (curved) edges; the vertex render draws straight
+    chords and must be measurably wrong."""
+    from geograypher_spark.functions import camera as camf
+
+    dist = {"k1": -0.3}
+    w = h = 200
+    f = 100.0
+    # big ground-plane triangle, off-centre so the curved edges cross
+    # high-radius image regions
+    tri_world = [(-1.6, -1.6, 0.0), (1.7, -1.4, 0.0), (0.1, 1.8, 0.0)]
+    fdf = _one_tri_df(spark, *tri_world)
+
+    # pinhole 2D projection (camera at (0,0,2), rot diag(1,-1,-1)):
+    # px = f*X/2 + 100, py = f*(-Y)/2 + 100
+    t2 = np.array([[f * x / 2.0 + 100.0, f * (-y) / 2.0 + 100.0]
+                   for x, y, _ in tri_world])
+
+    u = np.broadcast_to(np.arange(w, dtype=float)[None, :] + 0.5, (h, w)).ravel()
+    v = np.broadcast_to(np.arange(h, dtype=float)[:, None] + 0.5, (h, w)).ravel()
+    xn, yn = camf.brown_conrady_undistort((u - 100.0) / f, (v - 100.0) / f, dist)
+    us, vs = f * xn + 100.0, f * yn + 100.0
+
+    def edge(a, b, px, py):
+        return (b[0] - a[0]) * (py - a[1]) - (b[1] - a[1]) * (px - a[0])
+
+    e0 = edge(t2[0], t2[1], us, vs)
+    e1 = edge(t2[1], t2[2], us, vs)
+    e2 = edge(t2[2], t2[0], us, vs)
+    inside = ((e0 >= 0) & (e1 >= 0) & (e2 >= 0)) | ((e0 <= 0) & (e1 <= 0) & (e2 <= 0))
+    truth = inside.reshape(h, w)
+
+    warp_img = _face_img(V.render_face_images(
+        _dist_cam_df(spark, dist), fdf, distortion_mode="warp").collect()[0])
+    vert_img = _face_img(V.render_face_images(
+        _dist_cam_df(spark, dist), fdf, distortion_mode="vertex").collect()[0])
+
+    warp_err = int((truth != (warp_img >= 0)).sum())
+    vert_err = int((truth != (vert_img >= 0)).sum())
+    # NN quantisation only: a thin band along the 3 curved edges
+    assert warp_err < 0.01 * truth.sum()
+    # chord-vs-curve: the straight-edge render misses systematically
+    # (here by ~1/3 of the footprint — k1=-0.3 on a frame-sized triangle)
+    assert vert_err > 5 * max(warp_err, 1)
+    assert (vert_img >= 0).any()
+
+
+def test_warp_mode_split_equals_single_group(spark):
+    """split_res_delta partial renders stay IDEAL and the merge warps
+    once: results must be bit-identical to the non-split warp render,
+    distortion present, across sub-group boundaries."""
+    verts, tris = flat_mesh_tables()
+    fdf = faces_df(spark, verts, tris)
+    cdf = _dist_cam_df(spark, {"k1": -0.15, "p1": 0.01, "p2": -0.005})
+    base = {(r["camera_id"], r["face_id"]): r["pixel_count"]
+            for r in V.visibility_join(
+                cdf, fdf, distortion_mode="warp").collect()}
+    split = {(r["camera_id"], r["face_id"]): r["pixel_count"]
+             for r in V.visibility_join(
+                 cdf, fdf, split_res_delta=3,
+                 distortion_mode="warp").collect()}
+    assert split == base and len(base) > 100
