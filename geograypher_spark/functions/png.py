@@ -63,7 +63,17 @@ def _defilter(raw: memoryview, pos: int, h: int, stride: int,
               bpp: int) -> tuple[np.ndarray, int]:
     """Reconstruct ``h`` scanlines of ``stride`` bytes starting at
     ``raw[pos]`` (each prefixed by its filter-type byte) → ((h, stride)
-    uint8, new position)."""
+    uint8, new position).
+
+    Cost model: None/Up/Sub rows reconstruct vectorized (~GB/s). Average
+    and Paeth carry a true byte-lag-``bpp`` left-dependency whose
+    predictor is a nonlinear min-select, so they run as a per-byte
+    CPython list loop: ~250 ns/byte ≈ 4 MB/s of raw scanline (measured,
+    linear in image size — guarded by a throughput test). An all-Paeth
+    4000×3000 RGB frame is therefore ~9 s on one core; at scale that cost
+    lives inside the mapInPandas decode stage where it parallelizes per
+    image. Real encoders mix filters per row, so typical cost sits
+    between the two regimes."""
     end = pos + h * (stride + 1)
     if end > len(raw):
         raise ValueError("decompressed size mismatch")

@@ -267,3 +267,26 @@ class TestDecodeImageIntegration:
             assert r["mean_r"] == pytest.approx(float(m[0]))
             assert r["mean_b"] == pytest.approx(float(m[2]))
             assert len(r["feature"]) == 4 * 4 * 3
+
+
+class TestDefilterThroughput:
+    def test_paeth_decode_linear_time(self):
+        """Guard the _defilter cost model: the per-byte Average/Paeth loop
+        is ~250 ns/byte and LINEAR in image size. The bound here (2 µs/
+        byte, ~8× headroom for host noise) exists to catch an accidental
+        quadratic regression (e.g. list slicing inside the row loop), not
+        to benchmark."""
+        import time
+
+        rng = np.random.default_rng(5)
+        h, w, ch = 384, 512, 3
+        base = np.linspace(0, 255, w, dtype=np.uint8)
+        img = (np.tile(base, (h, 1))[:, :, None]
+               + rng.integers(-5, 6, (h, w, ch))).clip(0, 255).astype(np.uint8)
+        data = _build_png_general(img, 8, 2, [3, 4])   # Average/Paeth only
+        t0 = time.perf_counter()
+        out = PNG.decode_png(data)
+        dt = time.perf_counter() - t0
+        assert np.array_equal(out.reshape(img.shape), img)
+        nbytes = h * w * ch
+        assert dt < 2e-6 * nbytes, f"{dt / nbytes * 1e9:.0f} ns/byte"
