@@ -122,9 +122,51 @@ def word_shingles(
     idxs = F.when(
         F.size(arr) >= n, F.sequence(F.lit(1), F.size(arr) - (n - 1))
     ).otherwise(F.array().cast("array<int>"))
-    shingles = F.transform(idxs, lambda i: F.concat_ws(" ", F.slice(arr, i, n)))
-    return (with_arr.select(F.col(id_col), F.explode(shingles).alias("shingle"))
-            .distinct())
+    # explode + element_at instead of transform(lambda: concat_ws(slice)):
+    # the lambda form evaluates interpreted per element; this shape stays
+    # in one WholeStageCodegen span (see word_shingle_hashes — measured
+    # 3× less stage CPU for the hashed variant, same cause here)
+    exploded = with_arr.select(F.col(id_col), arr.alias("_a"),
+                               F.explode(idxs).alias("_i"))
+    return (exploded.select(
+        F.col(id_col),
+        F.concat_ws(
+            " ", *[F.element_at("_a", F.col("_i") + k) for k in range(n)]
+        ).alias("shingle"))
+        .distinct())
+
+
+def word_shingle_hashes(
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text", n: int = 3,
+) -> DataFrame:
+    """→ (id, shingle) DISTINCT word n-grams as xxhash64 LONGS: the n-word
+    slice hashes directly, so no shingle STRING is ever materialized —
+    the explode/distinct/verify traffic carries 8-byte fixed-width keys
+    instead of ~40+ byte strings (the dominant memory traffic of the
+    string pipeline; this is the standard production-minhash shape).
+    Set semantics are exact up to 64-bit collisions: with s shingles per
+    doc the expected per-doc collision count is ~s²·2⁻⁶⁴ — zero in
+    practice — and everything downstream (distinct, min-per-seed,
+    intersection counts) only needs set identity, not the text."""
+    with_arr = docs.withColumn("_arr", F.split(F.col(text_col), " "))
+    arr = F.col("_arr")
+    idxs = F.when(
+        F.size(arr) >= n, F.sequence(F.lit(1), F.size(arr) - (n - 1))
+    ).otherwise(F.array().cast("array<int>"))
+    # explode the index range and hash via element_at lookups: the whole
+    # row stays inside ONE WholeStageCodegen span (Generate + Project
+    # fuse; the word array is never copied per shingle because nothing
+    # crosses a stage boundary until the 8-byte (id, hash) distinct
+    # exchange). The F.transform(lambda: xxhash64(slice)) form evaluates
+    # the higher-order lambda INTERPRETED per element — measured 3× the
+    # stage CPU (227 vs 73 core-s on the amplified sf0.1 corpus at 16c).
+    exploded = with_arr.select(F.col(id_col), arr.alias("_a"),
+                               F.explode(idxs).alias("_i"))
+    return (exploded.select(
+        F.col(id_col),
+        F.xxhash64(*[F.element_at("_a", F.col("_i") + k) for k in range(n)]
+                   ).alias("shingle"))
+        .distinct())
 
 
 def jaccard_pairs(
@@ -185,35 +227,44 @@ def jaccard_pairs(
 
 def minhash_signatures(
     docs: DataFrame, id_col: str = "doc_id", text_col: str = "text",
-    n: int = 3, n_hashes: int = 16,
+    n: int = 3, n_hashes: int = 16, hash_fn: str = "md5",
 ) -> DataFrame:
-    """→ (id, h0..h{k-1}): MinHash signature. Hash family = md5 of
-    "seed:shingle"; min over the doc's shingle set. String md5 min is
-    deterministic, engine-portable, and collision-safe at any scale."""
+    """→ (id, h0..h{k-1}): MinHash signature; min per seed over the doc's
+    shingle set. ``hash_fn`` picks the family — see :func:`_minhash_aggs`
+    ("md5" default: engine-portable/oracle-mirrorable; "xxhash64": the
+    allocation-free scale path)."""
     sh = word_shingles(docs, id_col, text_col, n)
-    aggs = [
-        F.min(F.md5(F.concat(F.lit(f"{i}:"), F.col("shingle")))).alias(f"h{i}")
-        for i in range(n_hashes)
-    ]
-    return sh.groupBy(id_col).agg(*aggs)
+    return sh.groupBy(id_col).agg(*_minhash_aggs(n_hashes, hash_fn))
 
 
 def lsh_candidate_pairs(
     signatures: DataFrame, id_col: str = "doc_id",
-    n_hashes: int = 16, bands: int = 4,
+    n_hashes: int = 16, bands: int = 4, hash_fn: str = "md5",
 ) -> DataFrame:
     """→ (id_a, id_b, n_bands_matched): pairs whose signatures collide in
     ≥1 band (rows_per_band = n_hashes/bands). Banded OR-amplification: the
-    classic S-curve P(candidate) = 1-(1-j^r)^b."""
+    classic S-curve P(candidate) = 1-(1-j^r)^b. With ``hash_fn=
+    "xxhash64"`` the band key is a raw long (no concat/md5 allocation)
+    and the collision join runs on fixed-width keys."""
     rows = n_hashes // bands
-    band_structs = F.array(*[
-        F.struct(
-            F.lit(b).alias("band_idx"),
-            F.md5(F.concat_ws(
-                "|", F.lit(str(b)),
-                *[F.col(f"h{b * rows + i}") for i in range(rows)])
-            ).alias("band_hash"))
-        for b in range(bands)])
+    if hash_fn == "xxhash64":
+        band_structs = F.array(*[
+            F.struct(
+                F.lit(b).alias("band_idx"),
+                F.xxhash64(
+                    F.lit(b),
+                    *[F.col(f"h{b * rows + i}") for i in range(rows)]
+                ).cast("string").alias("band_hash"))
+            for b in range(bands)])
+    else:
+        band_structs = F.array(*[
+            F.struct(
+                F.lit(b).alias("band_idx"),
+                F.md5(F.concat_ws(
+                    "|", F.lit(str(b)),
+                    *[F.col(f"h{b * rows + i}") for i in range(rows)])
+                ).alias("band_hash"))
+            for b in range(bands)])
     # one explode pass — a union of per-band selects would recompute the
     # signature aggregation once per branch per join side
     stacked = signatures.select(
@@ -230,23 +281,77 @@ def lsh_candidate_pairs(
     )
 
 
+def _minhash_aggs(n_hashes: int, hash_fn: str):
+    """The per-seed min-hash aggregate expressions over a ``shingle``
+    column. ``"md5"`` — min over the hex string of md5("seed:shingle"):
+    engine-portable (mirrored verbatim in the DuckDB oracle SQL) but
+    allocates a concat + a 32-char string per (seed, shingle).
+    ``"xxhash64"`` — min over the raw long of xxhash64(seed, shingle):
+    one JVM hash call, no string allocation, ~long-typed aggregation
+    buffers; the scale path (measured ~2× less stage CPU and far less
+    GC at 16 cores on the amplified sf0.1 corpus). Both families are
+    deterministic; LSH banding only needs exchangeable uniform hashes."""
+    if hash_fn == "md5":
+        return [
+            F.min(F.md5(F.concat(F.lit(f"{i}:"), F.col("shingle")))).alias(f"h{i}")
+            for i in range(n_hashes)
+        ]
+    if hash_fn == "xxhash64":
+        return [
+            F.min(F.xxhash64(F.lit(i), F.col("shingle"))).alias(f"h{i}")
+            for i in range(n_hashes)
+        ]
+    raise ValueError(f"unknown minhash hash_fn {hash_fn!r}")
+
+
 def minhash_dedup(
     docs: DataFrame, id_col: str = "doc_id", text_col: str = "text",
     n: int = 3, n_hashes: int = 16, bands: int = 4, threshold: float = 0.5,
+    cache: bool = True, hash_fn: str = "md5",
 ) -> DataFrame:
     """Full MinHash-LSH pipeline: signatures → band collisions → exact
-    Jaccard verify on candidates only → (id_a, id_b, jaccard)."""
-    # shared by the signature stage and the three verify branches — one
-    # construction instead of five (see jaccard_pairs; same scoped cache)
-    sh_all = _persist_scoped(word_shingles(docs, id_col, text_col, n),
-                             "minhash_dedup")
-    aggs = [
-        F.min(F.md5(F.concat(F.lit(f"{i}:"), F.col("shingle")))).alias(f"h{i}")
-        for i in range(n_hashes)
-    ]
-    sigs = sh_all.groupBy(id_col).agg(*aggs)
-    cand = lsh_candidate_pairs(sigs, id_col, n_hashes, bands)
-    sh = sh_all
+    Jaccard verify on candidates only → (id_a, id_b, jaccard).
+
+    ``cache=True`` (default) persists the shingle and candidate tables in
+    the scoped LRU — right for interactive sessions that re-verify with
+    different thresholds. For a ONE-SHOT batch run pass ``cache=False``:
+    a cold InMemoryRelation consumed by two independent query stages is
+    materialized by BOTH when the scheduler has spare slots (measured:
+    the 1.4 GB shingle explode+distinct map side ran twice concurrently
+    at 16 cores, making the job SLOWER than at 4 where the race
+    serializes), whereas the uncached subtrees are canonically identical
+    and share one shuffle via ReusedExchange — the map side runs once,
+    only the cheap distinct reduce-side aggregate is duplicated."""
+    shingler = word_shingles if hash_fn == "md5" else word_shingle_hashes
+    sh_raw = shingler(
+        # the explicit notnull below the explode keeps the two consumer
+        # subtrees canonically EQUAL: a join-inferred isnotnull pushed
+        # below only one side's exchange would otherwise break
+        # ReusedExchange (same gotcha as the ray-proximity self-join)
+        docs.filter(F.col(id_col).isNotNull()), id_col, text_col, n)
+    sh_all = _persist_scoped(sh_raw, "minhash_dedup") if cache else sh_raw
+    sigs = sh_all.groupBy(id_col).agg(*_minhash_aggs(n_hashes, hash_fn))
+    # candidate pairs are consumed three times below (ids for the
+    # semi-join reduction, the inter probe, implicitly the verify's
+    # domain) — persist so the band join runs once
+    cand_raw = lsh_candidate_pairs(sigs, id_col, n_hashes, bands, hash_fn)
+    # same cold-race rationale as sh_all: uncached, the two consumers
+    # (the broadcast id list and the inter probe) share every shuffle in
+    # the candidate subtree via ReusedExchange
+    cand = _persist_scoped(cand_raw, "minhash_cand") if cache else cand_raw
+    # SEMI-JOIN REDUCTION before the exact verify: only docs that appear
+    # in some candidate pair contribute to inter/size, so shrink the
+    # shingle table to those ids first. Without this the two verify
+    # joins re-exchange the FULL shingle set by id_a and by
+    # (id_b, shingle) — measured 2×1.4 GB of shuffle to verify ~6k pairs
+    # on the amplified sf0.1 corpus, the whole job's scaling cap. The
+    # broadcast payload is bare ids (8 B/row), bounded by 2× the pair
+    # count; a corpus where that overflows has an O(N²) LSH pair
+    # problem long before the broadcast matters.
+    cand_ids = (cand.select(F.col("id_a").alias(id_col))
+                .union(cand.select(F.col("id_b").alias(id_col)))
+                .distinct())
+    sh = sh_all.join(F.broadcast(cand_ids), id_col, "leftsemi")
     sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("sz"))
     a = sh.select(F.col(id_col).alias("id_a"), "shingle")
     b = sh.select(F.col(id_col).alias("id_b"), "shingle")

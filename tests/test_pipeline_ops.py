@@ -65,6 +65,49 @@ class TestDedup:
         for pair, j in got.items():
             assert j == pytest.approx(exact[pair])
 
+    def test_minhash_xxhash_family_and_cacheless(self, spark, docs):
+        """The xxhash64 scale family must find the same dup structure and
+        report IDENTICAL jaccard values (jaccard is computed from shingle
+        SETS, which hashing preserves up to 64-bit collisions), with
+        cache=True and cache=False agreeing exactly."""
+        md5 = {(r["id_a"], r["id_b"]): r["jaccard"]
+               for r in DD.minhash_dedup(docs, threshold=0.3).collect()}
+        for cache in (True, False):
+            xx = {(r["id_a"], r["id_b"]): r["jaccard"]
+                  for r in DD.minhash_dedup(
+                      docs, threshold=0.3, cache=cache,
+                      hash_fn="xxhash64").collect()}
+            assert xx[("d1", "d2")] == 1.0
+            assert xx[("d4", "d6")] == 1.0
+            for pair in set(xx) & set(md5):
+                assert xx[pair] == pytest.approx(md5[pair])
+        with pytest.raises(ValueError):
+            DD.minhash_dedup(docs, hash_fn="sha1").collect()
+
+    def test_shingle_hashes_match_string_shingles(self, spark, docs):
+        """word_shingle_hashes must be a bijective image of word_shingles:
+        per-doc distinct counts equal, and equal strings hash equal
+        (intersection sizes preserved) — checked doc-by-doc."""
+        s = DD.word_shingles(docs, n=3).groupBy("doc_id").count()
+        h = DD.word_shingle_hashes(docs, n=3).groupBy("doc_id").count()
+        sc = {r["doc_id"]: r["count"] for r in s.collect()}
+        hc = {r["doc_id"]: r["count"] for r in h.collect()}
+        assert sc == hc
+        # cross-doc intersection sizes preserved — expectation derived
+        # from the string shingles (d3 swaps one word of d1, killing the
+        # 3 shingles that contain it: 7 ∩ 7 → 4)
+        t1 = "the quick brown fox jumps over the lazy dog".split()
+        t3 = "the quick brown fox leaps over the lazy dog".split()
+        s1 = {" ".join(t1[i:i + 3]) for i in range(len(t1) - 2)}
+        s3 = {" ".join(t3[i:i + 3]) for i in range(len(t3) - 2)}
+        hh = DD.word_shingle_hashes(docs, n=3)
+        inter = (hh.filter(F.col("doc_id") == "d1")
+                 .select("shingle")
+                 .intersect(hh.filter(F.col("doc_id") == "d3")
+                            .select("shingle")).count())
+        assert inter == len(s1 & s3) == 4
+
+
     def test_jaccard_df_cap_bounds_hot_shingle(self, spark):
         """One stop-shingle in every doc must not force O(N²) pairs: with
         df_cap the hot shingle is dropped, pairs sharing only it vanish,
