@@ -136,3 +136,26 @@ def test_proximity_cover_shuffled_once(spark, queries):
     assert len(exchanges) == 2, f"expected the 2 self-join exchanges, saw {len(exchanges)}"
     assert exchanges[0].canonicalized().equals(exchanges[1].canonicalized()), (
         "self-join exchanges no longer canonically equal - ReusedExchange lost")
+
+
+def test_dedup_big_cacheless_shape(spark):
+    """The scale-path minhash pipeline (hash_fn=xxhash64, cache=False)
+    must keep the three properties that fixed its scaling:
+    (1) no InMemoryRelation fence (the cold-cache race materialized the
+        shingle subtree twice concurrently at 16 cores, and the fence
+        blocked Catalyst from collapsing the distinct into the signature
+        aggregation);
+    (2) the exact-verify runs on the candidate-id-reduced shingle set —
+        a LeftSemi broadcast join must be present;
+    (3) shingling stays in codegen — no interpreted higher-order
+        transform() over the word array (was 3x the stage CPU)."""
+    from geograypher_spark.operators.dedup import minhash_dedup
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet").select(
+        "doc_id", "text")
+    df = minhash_dedup(docs, cache=False, hash_fn="xxhash64")
+    plan = _plan(df)
+    assert "InMemoryTableScan" not in plan
+    assert re.search(r"BroadcastHashJoin .*LeftSemi", plan), plan[:2000]
+    assert "transform(" not in plan
+    assert "xxhash64" in plan
