@@ -678,13 +678,21 @@ def render_label_images(
     cameras: DataFrame, faces_with_class: DataFrame,
     class_col: str = "face_class", nodata: int = 255,
     res: int = 4, scale: float = 1.0, distortion_mode: str = "vertex",
+    z_range: tuple[float, float] | None = None,
 ) -> DataFrame:
     """→ (camera_id, w, h, label_image): per-camera uint8 CLASS images —
     the reverse-pipeline render (reference ``face_texture[pix2face]``
     gather, ``meshes.py:1825-1909``). The face→class gather happens INSIDE
     each camera's render group (its candidate rows already carry the
-    class), so no face-scale map ever hits the driver or a broadcast."""
-    cand = candidate_camera_faces(cameras, faces_with_class, res=res).select(
+    class), so no face-scale map ever hits the driver or a broadcast.
+
+    ``z_range``: precomputed mesh (zmin, zmax). Pass it whenever
+    ``faces_with_class`` is an EXPENSIVE lineage (e.g. the reverse
+    pipeline's faces ⋈ PIP-voted classes): the footprint-covering z-stats
+    agg otherwise re-executes that whole lineage once more just to read
+    two numbers the raw face table already answers."""
+    cand = candidate_camera_faces(
+        cameras, faces_with_class, res=res, z_range=z_range).select(
         "camera_id", "face_id", class_col, *FACE_COORD_COLS)
     bc = _broadcast_cameras(cameras)
     schema = T.StructType([
@@ -731,10 +739,13 @@ def render_label_images(
 def render_face_images(
     cameras: DataFrame, faces: DataFrame,
     res: int = 4, scale: float = 1.0, distortion_mode: str = "vertex",
+    z_range: tuple[float, float] | None = None,
 ) -> DataFrame:
     """→ (camera_id, w, h, face_image:binary): full pix2face images as
-    int64-LE bytes — feeds the render sink (S12) / label-mask export."""
-    cand = candidate_camera_faces(cameras, faces, res=res).select(
+    int64-LE bytes — feeds the render sink (S12) / label-mask export.
+    ``z_range`` as in :func:`render_label_images`."""
+    cand = candidate_camera_faces(
+        cameras, faces, res=res, z_range=z_range).select(
         "camera_id", "face_id", *FACE_COORD_COLS)
     bc = _broadcast_cameras(cameras)
     schema = T.StructType([

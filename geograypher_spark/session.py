@@ -32,6 +32,25 @@ _DEFAULTS = {
 }
 
 
+def _inject_worker_sitecustomize() -> None:
+    """Put ``workerenv/`` (a ``sitecustomize.py`` shim) on ``$PYTHONPATH``
+    so every Python worker imports it at interpreter startup.
+
+    The shim backports Python 3.12's mtime-guarded
+    ``zipimporter.invalidate_caches`` — without it, pyspark's per-task
+    ``importlib.invalidate_caches()`` (``worker_util.py:144``) re-parses
+    the pyspark.zip central directory on EVERY task: a measured fixed
+    ~125-300 ms/task of pure overhead that dominates small Arrow tasks
+    (see workerenv/sitecustomize.py for the full measurement). Must run
+    BEFORE the JVM launches; a no-op when the dir is already present.
+    """
+    d = os.path.join(os.path.dirname(os.path.abspath(__file__)), "workerenv")
+    parts = os.environ.get("PYTHONPATH", "")
+    if d not in parts.split(os.pathsep):
+        os.environ["PYTHONPATH"] = (
+            d + os.pathsep + parts if parts else d)
+
+
 def get_spark(
     app_name: str = "geograypher_spark",
     master: str | None = None,
@@ -43,6 +62,7 @@ def get_spark(
     ``master`` defaults to ``local[$SPARK_GRAFT_CPUS or *]`` in the sandbox;
     under spark-submit on a cluster, leave it None and the submit conf wins.
     """
+    _inject_worker_sitecustomize()
     cpus = os.environ.get("SPARK_GRAFT_CPUS", "*")
     if master is None:
         master = f"local[{cpus}]"
