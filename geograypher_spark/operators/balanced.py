@@ -121,10 +121,18 @@ def auto_partitions(p: int, n_groups: int) -> int:
     2.1x task-time spread and ~12% of wall in the last-wave tail —
     so raise the bucket count toward ~3 groups/bucket (576 cameras:
     measured best at exactly groups/3 = 192 buckets, -12% wall at 16
-    cores), capped at 3x so per-task overhead stays bounded. Never
-    shrinks p: a small group domain keeps every bucket, it just stops
-    subdividing (groups are atomic anyway)."""
-    if n_groups and n_groups / p < 16:
+    cores), capped at 3x so per-task overhead stays bounded. When the
+    group domain is SMALLER than the bucket count, shrink to one
+    bucket per group: groups are atomic, so buckets beyond n_groups
+    are guaranteed empty, and an empty grouped-apply task still costs
+    a full Python-worker protocol round trip (~76 ms measured even
+    after the zip-cache fix — a 2-camera render on the default 128
+    buckets paid 126 pointless tasks)."""
+    if not n_groups:
+        return p
+    if n_groups < p:
+        return n_groups
+    if n_groups / p < 16:
         return min(3 * p, max(p, n_groups // 3))
     return p
 

@@ -196,6 +196,9 @@ def test_auto_partitions_rule():
     assert auto_partitions(64, 576) == 192
     assert auto_partitions(128, 576) == 192
     assert auto_partitions(64, 700) == 192  # 700//3=233 capped at 3x
-    # tiny domains never shrink p (groups are atomic; buckets stay)
-    assert auto_partitions(128, 10) == 128
+    # domains smaller than the bucket count shrink to one bucket per
+    # group: extra buckets are guaranteed empty and an empty
+    # grouped-apply task still pays the full worker protocol round trip
+    assert auto_partitions(128, 10) == 10
+    assert auto_partitions(128, 2) == 2
     assert auto_partitions(8, 0) == 8
