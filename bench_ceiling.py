@@ -173,8 +173,12 @@ def main() -> None:
         pass
 
     kinds_out: dict = {}
+    probed = {tuple(int(x) for x in pair.split(",")) for pair in args.pairs}
     for kind in args.kinds:
-        pairs_out = []
+        # carry forward recorded pairs that this invocation doesn't
+        # re-probe (e.g. `--pairs 2,8` must not drop the 4,16 record)
+        pairs_out = [dict(e) for (k, n, n4), e in sorted(prior.items())
+                     if k == kind and (n, n4) not in probed]
         for pair in args.pairs:
             n, n4 = (int(x) for x in pair.split(","))
             t_lo = min(run_level(n, args.units, args.mat, args.iters, kind)
