@@ -165,10 +165,15 @@ def main() -> None:
     try:
         with open("BENCH/ceiling.json") as fh:
             old = json.load(fh)
-        for kind, entry in old.get("kinds", {}).items():
-            for e in entry.get("pairs", []):
-                prior[(kind, e["n"], e["n4"])] = e
-        n_runs = old.get("n_runs", 1) + 1
+        # min-merging timings is only valid when the prior record probed
+        # the SAME unit workload (units/mat/iters); a lighter probe's
+        # smaller times would otherwise contaminate the record
+        if all(old.get(k) == getattr(args, k)
+               for k in ("units", "mat", "iters")):
+            for kind, entry in old.get("kinds", {}).items():
+                for e in entry.get("pairs", []):
+                    prior[(kind, e["n"], e["n4"])] = e
+            n_runs = old.get("n_runs", 1) + 1
     except (OSError, ValueError):
         pass
 
@@ -193,6 +198,12 @@ def main() -> None:
                               "t_hi": round(t_hi, 3), "eff": round(eff, 3)})
             print(json.dumps({"kind": kind, **pairs_out[-1]}))
         kinds_out[kind] = {"pairs": pairs_out}
+
+    # kinds recorded earlier but not probed this invocation (e.g.
+    # `--kinds compute scatter` must not drop the stream record)
+    for kind in sorted({k for (k, _, _) in prior} - set(args.kinds)):
+        kinds_out[kind] = {"pairs": [
+            dict(e) for (k, n, n4), e in sorted(prior.items()) if k == kind]}
 
     os.makedirs("BENCH", exist_ok=True)
     with open("BENCH/ceiling.json", "w") as fh:
