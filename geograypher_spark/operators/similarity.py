@@ -109,6 +109,46 @@ def _plane_bits(M: np.ndarray, n_planes: int, seed: int) -> np.ndarray:
     return (Q @ planes) > 0
 
 
+def _topk_desc_tiebreak(sims: np.ndarray, ids: np.ndarray, k_eff: int
+                        ) -> np.ndarray:
+    """Row-wise top-``k_eff`` column indices of ``sims`` ordered by
+    (sim DESC, id ASC) — identical to
+    ``np.lexsort((ids_bcast, -sims))[:, :k_eff]`` on every FINITE slot
+    (the -inf padding slots a caller drops with ``isfinite`` may come out
+    in a different id order) but at argpartition cost:
+    the full-width lexsort was the dominant Python time of the bucketed
+    ANN kernels (O(m log m) tuple sort per query row; measured ~20 s of
+    worker time per ann_lsh trial at sf1.0 against a ~2 s matmul).
+
+    Selection: argpartition by sim gives the top-k by value with arbitrary
+    tie order; a row is 'unsafe' only when a FINITE boundary value has
+    more ties in the full row than made it into the partition (then the
+    id tie-break must choose among them) — those rare rows fall back to
+    the exact full-width lexsort. Rows with fewer than k_eff valid
+    candidates are safe by construction: every finite sim sorts strictly
+    before the -inf padding, so argpartition keeps all of them, and
+    callers drop the non-finite slots afterwards."""
+    c, m = sims.shape
+    part = np.argpartition(sims, m - k_eff, axis=-1)[:, m - k_eff:]
+    psims = np.take_along_axis(sims, part, axis=-1)
+    # order the kept entries exactly: lexsort over (id ASC, sim DESC)
+    order = np.lexsort((np.take_along_axis(
+        np.broadcast_to(ids, (c, m)), part, axis=-1), -psims), axis=-1)
+    idx = np.take_along_axis(part, order, axis=-1)
+    kth = psims.min(axis=1)
+    finite = np.isfinite(kth)
+    if finite.any():
+        total_at = np.count_nonzero(sims == kth[:, None], axis=1)
+        kept_at = np.count_nonzero(psims == kth[:, None], axis=1)
+        unsafe = finite & (total_at > kept_at)
+        if unsafe.any():
+            rows_u = np.nonzero(unsafe)[0]
+            idx[rows_u] = np.lexsort(
+                (np.broadcast_to(ids, (len(rows_u), m)), -sims[rows_u]),
+                axis=-1)[:, :k_eff]
+    return idx
+
+
 def band_values_udf(n_planes: int, bands: int, seed: int = 42):
     """Per-vector array of ``bands`` band values (contiguous groups of
     ``n_planes//bands`` hyperplane sign bits, same grouping as splitting a
@@ -132,6 +172,84 @@ def band_values_udf(n_planes: int, bands: int, seed: int = 42):
         return pd.Series(list(vals))
 
     return bv
+
+
+def _round_half_up(x: np.ndarray) -> np.ndarray:
+    """Exact BigDecimal-HALF_UP rounding of doubles (|x| < 2^52) — the
+    semantics of Spark's ``F.round(double)`` / DuckDB's ``round``,
+    reproduced without the ``floor(x + 0.5)`` representability pitfall:
+    ``x - floor(x)`` is exact (Sterbenz for |floor(x)| ≥ 1, trivially
+    exact below), so the .5 comparison is performed on the true
+    fractional part. Ties round AWAY FROM ZERO (+.5 up, -.5 down),
+    matching HALF_UP for both signs."""
+    f = np.floor(x)
+    d = x - f
+    return f + np.where(x >= 0, d >= 0.5, d > 0.5)
+
+
+def quantized_band_struct_udf(n_planes: int, bands: int, scale: int = 1000,
+                              seed: int = 42):
+    """ONE Python pass per vector → struct(qv: binary, bv: array<long>):
+    the int32-LE-packed quantized vector and its band values.
+
+    Replaces the previous two-step shape (a JVM higher-order ``transform``
+    for qv — evaluated interpreted per element — plus a separate pandas
+    UDF for bv over the raw embedding). Benefits, measured at sf1.0:
+    the 64-element ``array<long>`` qv (~528 B/row through every band
+    exchange) becomes a 256 B binary cell (~2× fewer shuffle bytes after
+    the ×bands explode), the kernel-side decode is one ``frombuffer``
+    over joined bytes instead of per-row object-array stacking, and only
+    one column crosses the Python boundary once.
+
+    Quantization uses :func:`_round_half_up` — bit-identical to the JVM
+    ``F.round`` / oracle ``round`` for every double input — and the band
+    bits are signs of EXACT integer dots of that same quantized vector
+    with the integer planes (``lsh_planes``), which is precisely the
+    oracle's formulation (the previous ``_plane_bits`` rounded with
+    ``np.round``, i.e. half-to-even — equal on any input without exact
+    .5 ties, which the tie-free fixture guarantees, but HALF_UP is the
+    contract)."""
+    from pyspark.sql import types as T
+    from pyspark.sql.functions import pandas_udf
+
+    rows = n_planes // bands
+    out_t = T.StructType([
+        T.StructField("qv", T.BinaryType()),
+        T.StructField("bv", T.ArrayType(T.LongType()))])
+
+    @pandas_udf(out_t)
+    def f(vec: pd.Series) -> pd.DataFrame:
+        if len(vec) == 0:
+            return pd.DataFrame({"qv": pd.Series([], dtype=object),
+                                 "bv": pd.Series([], dtype=object)})
+        M = np.stack(vec.to_numpy()).astype(np.float64)      # (n, dim)
+        Q = _round_half_up(M * float(scale))                 # ints in double
+        planes = lsh_planes(M.shape[1], n_planes, seed)
+        bits = (Q @ planes) > 0                              # exact int dots
+        weights = 1 << np.arange(rows, dtype=np.int64)
+        vals = np.stack(
+            [bits[:, b * rows:(b + 1) * rows].astype(np.int64) @ weights
+             for b in range(bands)], axis=1)                 # (n, bands)
+        qb = Q.astype("<i4").tobytes()
+        row_b = M.shape[1] * 4
+        return pd.DataFrame({
+            "qv": [qb[i * row_b:(i + 1) * row_b] for i in range(len(M))],
+            "bv": list(vals)})
+
+    # the value is pure, but the nondeterministic mark stops the optimizer
+    # duplicating the evaluation: the downstream posexplode's implicit
+    # size(bv) > 0 filter was pushed below the repartition exchange,
+    # yielding TWO ArrowEvalPython nodes for one UDF (guide §4.4 pattern;
+    # observed in the sf1.0 plan — every vector paid the signature matmul
+    # and the Arrow round trip twice)
+    return f.asNondeterministic()
+
+
+def _decode_qv(col: "pd.Series") -> np.ndarray:
+    """binary int32-LE cells → (n, dim) float64 matrix (exact ints)."""
+    buf = b"".join(col)
+    n = len(col)
+    return np.frombuffer(buf, dtype="<i4").astype(np.float64).reshape(n, -1)
 
 
 def cosine_topk_lsh(
@@ -162,13 +280,13 @@ def cosine_topk_lsh(
         if n_planes % bands:
             raise ValueError(f"n_planes={n_planes} not divisible by bands={bands}")
         rows = n_planes // bands
-    bv_udf = band_values_udf(n_planes, bands)
+    qb_udf = quantized_band_struct_udf(n_planes, bands, scale)
     par = embeddings.sparkSession.sparkContext.defaultParallelism
     base = embeddings.repartition(max(par * 2, 8)).select(
         F.col(id_col).alias("vec_id"),
-        quantized(F.col(vec_col), scale).alias("qv"),
-        bv_udf(F.col(vec_col)).alias("bv"),
-    )
+        qb_udf(F.col(vec_col)).alias("_s"),
+    ).select("vec_id", F.col("_s.qv").alias("qv"),
+             F.col("_s.bv").alias("bv"))
     # ONE pass: posexplode the band array — a union of per-band selects
     # would re-execute the signature stage once per branch per join side
     stacked = base.select(
@@ -201,7 +319,7 @@ def cosine_topk_lsh(
                               "sim": pd.Series([], dtype="float64")})
         if m < 2:
             return empty
-        Q = np.stack(pdf["qv"].to_numpy()).astype(np.float64)  # ints, exact
+        Q = _decode_qv(pdf["qv"])  # int32-LE cells -> exact ints in double
         n2 = (Q * Q).sum(axis=1)
         ids = pdf["vec_id"].to_numpy()
         B = np.stack(pdf["bv"].to_numpy()) if band_idx > 0 else None
@@ -214,18 +332,22 @@ def cosine_topk_lsh(
             # dot / sqrt(na*nb): the exact op sequence of the brute-force
             # path (ints exact in double, product < 2^53, one rounded sqrt
             # + one rounded divide) — bit-identical across engines
-            sims = (Q[lo:hi] @ Q.T) / np.sqrt(np.outer(n2[lo:hi], n2))
+            # dot / sqrt(na*nb) kept as the exact brute-force op sequence;
+            # the divide is IN-PLACE (identical correctly-rounded values,
+            # one fewer full-size temporary) and masked slots are assigned
+            # -inf directly instead of np.where over a bool mask (saves
+            # two more (c, m) passes — the kernel is memory-bound on this
+            # host next to its ~1 GFLOP/s GEMM)
+            sims = Q[lo:hi] @ Q.T
+            sims /= np.sqrt(np.outer(n2[lo:hi], n2))
             c = hi - lo
-            ok = np.ones((c, m), dtype=bool)
-            ok[np.arange(c), np.arange(lo, hi)] = False  # self
+            sims[np.arange(c), np.arange(lo, hi)] = -np.inf  # self
             if band_idx > 0:
                 earlier = (
                     B[lo:hi, None, :band_idx] == B[None, :, :band_idx]
                 ).any(axis=-1)
-                ok &= ~earlier
-            sims = np.where(ok, sims, -np.inf)
-            idx = np.lexsort(
-                (np.broadcast_to(ids, (c, m)), -sims), axis=-1)[:, :k_eff]
+                sims[earlier] = -np.inf
+            idx = _topk_desc_tiebreak(sims, ids, k_eff)
             rowi = np.repeat(np.arange(c), k_eff)
             coli = idx.ravel()
             s = sims[rowi, coli]
@@ -236,6 +358,12 @@ def cosine_topk_lsh(
                 "sim": s[valid]}))
         return pd.concat(outs) if outs else empty
 
+    # plain grouped applyInPandas: with the argpartition kernel the
+    # per-bucket compute is cheap enough that AQE's byte-based partition
+    # sizing is the right cost model again — the balanced-exchange variant
+    # (assign join + explicit repartition) was measured SLOWER at both
+    # sf0.1 (1.2 -> 2.1 s) and sf1.0 (1.6 -> 2.6 s): its extra broadcast
+    # round and fixed 64-task waves cost more than the coalesced stage
     local = stacked.groupBy("band_idx", "band_val").applyInPandas(
         bucket_topk, schema=out_schema)
     # global top-k over ≤ bands·k slim rows per query — tiny window shuffle
@@ -270,12 +398,15 @@ def embedding_near_duplicates(
         n_planes = rows * bands
     elif n_planes % bands:
         raise ValueError(f"n_planes={n_planes} not divisible by bands={bands}")
-    bv_udf = band_values_udf(n_planes, bands)
+    else:
+        rows = n_planes // bands
+    qb_udf = quantized_band_struct_udf(n_planes, bands, scale)
     par = embeddings.sparkSession.sparkContext.defaultParallelism
     base = embeddings.repartition(max(par * 2, 8)).select(
         F.col(id_col).alias("vec_id"),
-        quantized(F.col(vec_col), scale).alias("qv"),
-        bv_udf(F.col(vec_col)).alias("bv"))
+        qb_udf(F.col(vec_col)).alias("_s"),
+    ).select("vec_id", F.col("_s.qv").alias("qv"),
+             F.col("_s.bv").alias("bv"))
     stacked = base.select(
         "vec_id", "qv", "bv",
         F.posexplode("bv").alias("band_idx", "band_val"))
@@ -298,7 +429,7 @@ def embedding_near_duplicates(
                               "sim": pd.Series([], dtype="float64")})
         if m < 2:
             return empty
-        Q = np.stack(pdf["qv"].to_numpy()).astype(np.float64)  # ints, exact
+        Q = _decode_qv(pdf["qv"])  # int32-LE cells -> exact ints in double
         n2 = (Q * Q).sum(axis=1)
         ids = pdf["vec_id"].to_numpy()
         B = np.stack(pdf["bv"].to_numpy()) if band_idx > 0 else None
@@ -306,7 +437,8 @@ def embedding_near_duplicates(
         chunk = max(1, min(m, 2_000_000 // max(m, 1) + 1, 4096))
         for lo in range(0, m, chunk):
             hi = min(lo + chunk, m)
-            sims = (Q[lo:hi] @ Q.T) / np.sqrt(np.outer(n2[lo:hi], n2))
+            sims = Q[lo:hi] @ Q.T
+            sims /= np.sqrt(np.outer(n2[lo:hi], n2))
             ok = ids[lo:hi, None] < ids[None, :]
             ok &= sims >= thr
             if band_idx > 0:
@@ -455,8 +587,7 @@ def cosine_topk_ivf(
             ok = qids[lo:hi, None] != nids[None, :]
             sims = np.where(ok, sims, -np.inf)
             k_eff = min(kk, sims.shape[1])
-            idx = np.lexsort(
-                (np.broadcast_to(nids, sims.shape), -sims), axis=-1)[:, :k_eff]
+            idx = _topk_desc_tiebreak(sims, nids, k_eff)
             rowi = np.repeat(np.arange(hi - lo), k_eff)
             coli = idx.ravel()
             s = sims[rowi, coli]
