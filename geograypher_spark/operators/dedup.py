@@ -375,7 +375,23 @@ def minhash_dedup(
     cand_ids = (cand.select(F.col("id_a").alias(id_col))
                 .union(cand.select(F.col("id_b").alias(id_col)))
                 .distinct())
-    sh = sh_all.join(F.broadcast(cand_ids), id_col, "leftsemi")
+    if cache:
+        # warm path: the shingle table is persisted — filter the cache
+        sh = sh_all.join(F.broadcast(cand_ids), id_col, "leftsemi")
+    else:
+        # one-shot path: push the candidate-id semi-join BELOW the
+        # shingling (filter docs, then shingle) — Catalyst does not move
+        # a LeftSemi join through a Generate on its own, so the verify
+        # branch otherwise re-exploded and re-hashed the FULL corpus just
+        # to keep ~1% of it (round-6 stage probe on dedup_big at 16
+        # cores: the verify-side shingle pass was the single largest
+        # stage, 58 s of executor time vs 38 s for the signature pass;
+        # shingling only candidate docs makes it a read+filter).
+        # Shingles are per-doc, so shingler(filter(docs)) ==
+        # filter(shingler(docs)) exactly.
+        docs_cand = docs.filter(F.col(id_col).isNotNull()).join(
+            F.broadcast(cand_ids), id_col, "leftsemi")
+        sh = shingler(docs_cand, id_col, text_col, n)
     sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("sz"))
     a = sh.select(F.col(id_col).alias("id_a"), "shingle")
     b = sh.select(F.col(id_col).alias("id_b"), "shingle")

@@ -190,6 +190,13 @@ def sq_dedup_big(spark, sf_dir, replicas: int = 192):
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
         "doc_id", "text")
     par = spark.sparkContext.defaultParallelism
+    # spread the base docs BEFORE the ×replicas crossJoin: the bench
+    # corpus is a single-row-group file (1 scan split), so the replica
+    # emission and the 166 MB repartition-exchange write otherwise run in
+    # ONE task — a measured 3.5 s SERIAL stage at every parallelism level
+    # (stage probe, round 6), i.e. a pure-Amdahl term the scaling ratio
+    # charged to the engine. The base shuffle is ~1.7 MB — noise.
+    docs = docs.repartition(max(par * 2, 16))
     reps = spark.range(replicas).select(F.col("id").alias("_rep"))
     big = (docs.crossJoin(reps)
            .repartition(max(par * 4, 64))

@@ -78,6 +78,57 @@ class TestQuantizedBinaryPack:
             assert list(r["s"]["bv"]) == list(r["bv_ref"]), vid
 
 
+class TestPipExprEquivalence:
+    def test_expr_matches_numpy_kernel(self, spark):
+        """The compiled JVM PIP predicate must agree with the winding
+        kernel on random concave polygons with holes, including points
+        landing near edges."""
+        from geograypher_spark.functions import geometry as geom
+        from geograypher_spark.operators.spatial_join import pip_filter_expr
+        from pyspark.sql import functions as F
+
+        rng = np.random.default_rng(7)
+        wkb_map = {}
+        polys_by_pid = {}
+        for pid in range(3):
+            # star-ish concave ring around a random center
+            ang = np.sort(rng.uniform(0, 2 * np.pi, 9))
+            rad = rng.uniform(1.0, 4.0, 9)
+            cx, cy = rng.uniform(3, 7, 2)
+            ring = np.stack([cx + rad * np.cos(ang),
+                             cy + rad * np.sin(ang)], axis=1)
+            hole = ring.mean(axis=0) + (ring - ring.mean(axis=0)) * 0.2
+            rings = [ring, hole[::-1]]
+            wkb_map[pid] = geom.polygon_to_wkb(rings)
+            polys_by_pid[pid] = geom.wkb_to_rings(wkb_map[pid])
+        pts = rng.uniform(-1, 11, size=(400, 2))
+        rows = [(int(i % 3), float(px), float(py))
+                for i, (px, py) in enumerate(pts)]
+        df = spark.createDataFrame(rows, "polygon_id int, x double, y double")
+        expr = pip_filter_expr(F.col("x"), F.col("y"), F.col("polygon_id"),
+                               wkb_map)
+        assert expr is not None
+        got = {(r["polygon_id"], r["x"], r["y"])
+               for r in df.filter(expr).collect()}
+        expect = set()
+        for pid, px, py in rows:
+            if geom.points_in_multipolygon(
+                    np.array([px]), np.array([py]), polys_by_pid[pid])[0]:
+                expect.add((pid, px, py))
+        assert got == expect and len(expect) > 10
+
+    def test_large_polygon_sets_fall_back(self, spark):
+        from geograypher_spark.functions import geometry as geom
+        from geograypher_spark.operators.spatial_join import pip_filter_expr
+        from pyspark.sql import functions as F
+
+        ring = np.array([[0, 0], [1, 0], [1, 1], [0, 1]], dtype=float)
+        wkb = geom.polygon_to_wkb([ring])
+        big = {i: wkb for i in range(300)}  # 300 polys x 2 crossing edges
+        assert pip_filter_expr(F.col("x"), F.col("y"),
+                               F.col("polygon_id"), big) is None
+
+
 class TestHashedJaccardParity:
     def test_hashed_equals_string_pipeline(self, spark):
         docs = spark.read.parquet(
