@@ -316,8 +316,11 @@ def _write_report() -> None:
         "could come from different runs). STOPPING RULE (round-5 ADVICE): "
         "from round 6 on, the number of paired runs for any recording "
         "session is PRESPECIFIED before the first run executes (round-6 "
-        "re-recordings: 5 pipeline-tier runs, 3 primary confirmation "
-        "runs) and every executed run is recorded — no "
+        "re-recordings: one 5-run pipeline batch after the band-hash "
+        "fix, then one 3-run pipeline batch after the serial-input/"
+        "verify-pass fixes; the primary workload is code-unchanged in "
+        "round 6 and keeps its round-5 record) and every executed run "
+        "is recorded — no "
         "target-dependent stopping. Historical note, disclosed: the "
         "round-5 primary 4→16 record grew 5→12 runs with the median "
         "tracked against the 0.8 target between runs; all 12 runs' raw "

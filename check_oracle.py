@@ -46,10 +46,16 @@ def main() -> None:
     import math
 
     def canon(rows):
+        from decimal import Decimal
+
         out = []
         for r in rows:
             rr = []
             for v in r:
+                if isinstance(v, Decimal):
+                    # DuckDB types bare VALUES literals as DECIMAL; the
+                    # driver's comparator coerces — match that here
+                    v = float(v)
                 if isinstance(v, float):
                     # bit-level float identity (nan == nan, -0.0 != 0.0)
                     rr.append(("f", math.inf if v != v else v,

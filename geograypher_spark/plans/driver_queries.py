@@ -18,6 +18,7 @@ Cross-engine exactness rules used throughout:
 
 from __future__ import annotations
 
+import os
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession, Window
@@ -52,10 +53,21 @@ def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     One round-robin repartition to the session parallelism spreads it; at
     warehouse scale the scan already has ≥ parallelism splits and the
     repartition is skipped (partition-count check — driver-side only, no
-    job)."""
+    job). A SIZE floor gates it too (guide §2: scale-adaptive, derived
+    from input size): below ~2 MB of compressed input the serialized
+    compute is cheaper than the exchange plus its extra stage wave
+    (measured: doc_roundtrip at sf0.1 — 0.6 MB — lost ~0.3 s to the
+    repartition while sf1.0 — 5.9 MB — gained ~0.2 s under count() and
+    8.5× under full computation)."""
     df = _t(spark, sf_dir, "documents")
     par = spark.sparkContext.defaultParallelism
-    if df.rdd.getNumPartitions() < par:
+    try:
+        nbytes = sum(os.path.getsize(p[len("file:"):] if p.startswith(
+            "file:") else p) for p in df.inputFiles())
+    except OSError:
+        nbytes = None
+    small = nbytes is not None and nbytes < 2 * 1024 * 1024
+    if not small and df.rdd.getNumPartitions() < par:
         df = df.repartition(par)
     return df
 
